@@ -1,0 +1,156 @@
+"""The audio-conditioned HeadNeRF model.
+
+Functional equivalent of reference `HeadNeRFNet`
+(NetWorks/HeadNeRFNet.py:10-207): rays -> stratified samples -> positional
+encoding -> point MLP -> alpha compositing to a `[B, S, S, feat_nc]` feature
+map -> neural-render upsampling to the output image, with the background
+handled as `fg_feat + bg_alpha * bg_featmap` (HeadNeRFNet.py:108-113).
+
+The whole forward is one pure jittable function of (params, inputs, rng);
+sharding is applied from the outside (see nerf3dtalker_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from nerf3dtalker_tpu.config import NeRFConfig
+from nerf3dtalker_tpu.models.nerf_mlp import NeRFMLP
+from nerf3dtalker_tpu.models.neural_renderer import NeuralRenderer
+from nerf3dtalker_tpu.ops.embedding import positional_encoding
+from nerf3dtalker_tpu.ops.compositing import alpha_composite
+from nerf3dtalker_tpu.ops.rays import (
+    Rays,
+    fine_zvals,
+    gen_rays,
+    sample_points,
+    stratified_zvals,
+)
+
+
+class HeadNeRF(nn.Module):
+    cfg: NeRFConfig
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.cfg
+        self.mlp = NeRFMLP(
+            vp_channels=cfg.vp_channels,
+            vd_channels=cfg.vd_channels,
+            audio_channels=cfg.audio_style_dims,
+            hidden=cfg.mlp_hidden,
+            out_features=cfg.featmap_nc,
+            compute_dtype=self.compute_dtype,
+            name="fg_CD_predictor",
+        )
+        if cfg.hier_sampling:
+            self.fine_mlp = NeRFMLP(
+                vp_channels=cfg.vp_channels,
+                vd_channels=cfg.vd_channels,
+                audio_channels=cfg.audio_style_dims,
+                hidden=cfg.mlp_hidden,
+                out_features=cfg.featmap_nc,
+                compute_dtype=self.compute_dtype,
+                name="fine_fg_CD_predictor",
+            )
+        self.neural_render = NeuralRenderer(
+            feat_nc=cfg.featmap_nc,
+            out_dim=3,
+            final_actvn=True,
+            min_feat=32,
+            featmap_size=cfg.featmap_size,
+            img_size=cfg.pred_img_size,
+            bg_type=cfg.bg_type,
+            name="neural_render",
+        )
+
+    def _point_features(
+        self, mlp, pts, dirs, shape_code, appea_code, audio_style
+    ):
+        """PE + MLP for a set of sample points ([B, N_r, N_s, 3])."""
+        cfg = self.cfg
+        pe = positional_encoding(pts, cfg.vp_n_freqs, cfg.vp_include_input)
+        vd_pe = None
+        if cfg.include_vd:
+            # per-point view-direction encoding (HeadNeRFNet.py:141-144);
+            # the flagship path runs include_vd=False (talker_trainer.py:693).
+            vd_pe = positional_encoding(dirs, cfg.vd_n_freqs, cfg.vd_include_input)
+        return mlp(pe, shape_code, appea_code, audio_style, vd_pe=vd_pe)
+
+    def __call__(
+        self,
+        batch_xy: jnp.ndarray,        # [B, N_r, 2] pixel coords
+        shape_code: jnp.ndarray,      # [B, 179] iden|expr (audio-overwritten)
+        appea_code: jnp.ndarray,      # [B, 127] text|illu
+        audio_style: jnp.ndarray,     # [B, 64]
+        Rmat: jnp.ndarray,            # [B, 3, 3]
+        Tvec: jnp.ndarray,            # [B, 3] or [B, 3, 1]
+        inv_inmat: jnp.ndarray,       # [B, 3, 3]
+        rng: Optional[jax.Array] = None,   # stratified jitter when training
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        B = batch_xy.shape[0]
+        S = cfg.featmap_size
+
+        rays = gen_rays(batch_xy, Rmat, Tvec, inv_inmat)
+        zb = stratified_zvals(
+            rays, cfg.num_sample_coarse, cfg.world_z1, cfg.world_z2, rng
+        )
+        sp = sample_points(rays, zb)
+
+        feat, density = self._point_features(
+            self.mlp, sp.pts, sp.dirs, shape_code, appea_code, audio_style
+        )
+        comp = alpha_composite(feat, density[..., 0], sp.z_dists, sp.zvals)
+
+        out = self._render_maps(comp, B, S)
+
+        if cfg.hier_sampling:
+            fz = fine_zvals(
+                comp.weights, sp.zvals, cfg.num_sample_fine + 1,
+                rng if rng is not None else None,
+            )
+            fsp = sample_points(rays, fz)
+            ffeat, fdensity = self._point_features(
+                self.fine_mlp, fsp.pts, fsp.dirs, shape_code, appea_code, audio_style
+            )
+            fcomp = alpha_composite(ffeat, fdensity[..., 0], fsp.z_dists, fsp.zvals)
+            fine_out = self._render_maps(fcomp, B, S)
+            out["fine_merge_img"] = fine_out["merge_img"]
+
+        return out
+
+    def _render_maps(self, comp, B, S):
+        cfg = self.cfg
+        fg = comp.features.reshape(B, S, S, cfg.featmap_nc)
+        bg_alpha = comp.bg_alpha.reshape(B, S, S, 1)
+        bg_featmap = self.neural_render.bg_featmap()
+        merge = fg + bg_alpha * bg_featmap          # HeadNeRFNet.py:112
+        merge_img = self.neural_render(merge)
+        bg_img = self.neural_render(bg_featmap)
+        return {
+            "merge_img": merge_img,                  # [B, img, img, 3]
+            "bg_img": bg_img,                        # [1, img, img, 3]
+            "bg_alpha": bg_alpha,
+            "depth": comp.depth.reshape(B, S, S),
+        }
+
+
+def build_code_and_cam(
+    base_iden: jnp.ndarray,      # [B, 100]
+    base_expr: jnp.ndarray,      # [B, 79]
+    base_text: jnp.ndarray,      # [B, 100]
+    base_illu: jnp.ndarray,      # [B, 27]
+    audio_exp: Optional[jnp.ndarray] = None,  # [B, 64] SadTalker exp
+):
+    """Assemble shape/appearance codes; audio expression overwrites the first
+    64 expr dims (reference talker_trainer.py:835-897, overwrite at :853)."""
+    if audio_exp is not None:
+        base_expr = base_expr.at[:, :64].set(audio_exp)
+    shape_code = jnp.concatenate([base_iden, base_expr], axis=-1)
+    appea_code = jnp.concatenate([base_text, base_illu], axis=-1)
+    return shape_code, appea_code

@@ -1,0 +1,164 @@
+"""Jittable training / eval steps for the HeadNeRF + Audio2Style pair.
+
+Mirrors the reference training loop semantics (talker_trainer.py:960-1085):
+two Adam optimizers — one on the NeRF, one on the audio encoder
+(talker_trainer.py:665,722-727) — stepping together on the total loss, with
+StepLR decay (gamma 0.1 every 100 epochs). Here both live in one optax
+multi-transform over a single param pytree, and the whole step (audio
+encode -> code assembly -> render -> loss -> grads -> update) is one jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+from nerf3dtalker_tpu.models import HeadNeRF
+from nerf3dtalker_tpu.models.audio import Audio2Style
+from nerf3dtalker_tpu.train.losses import headnerf_losses
+
+
+class TrainState(NamedTuple):
+    params: Any            # {"nerf": ..., "audio": ...}
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_schedule(cfg: TrainConfig, steps_per_epoch: int) -> optax.Schedule:
+    """StepLR: lr * gamma^(epoch // step_size) (talker_trainer.py:722-727)."""
+    return optax.exponential_decay(
+        init_value=cfg.lr,
+        transition_steps=cfg.step_lr_every * max(steps_per_epoch, 1),
+        decay_rate=cfg.step_lr_gamma,
+        staircase=True,
+    )
+
+
+def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.GradientTransformation:
+    sched = make_schedule(cfg, steps_per_epoch)
+    return optax.multi_transform(
+        {
+            "nerf": optax.adam(sched),
+            "audio": optax.adam(cfg.lr_audio),
+        },
+        param_labels={"nerf": "nerf", "audio": "audio"},
+    )
+
+
+@dataclasses.dataclass(frozen=True)
+class StepFns:
+    """Bundle of jittable functions for one model configuration."""
+
+    train_step: Any
+    eval_step: Any
+    render: Any
+    init: Any
+
+
+def build_step_fns(
+    nerf_cfg: NeRFConfig,
+    train_cfg: TrainConfig,
+    steps_per_epoch: int = 1,
+    vgg_params=None,
+    compute_dtype=None,
+) -> StepFns:
+    """Construct (train_step, eval_step, render, init) closures.
+
+    Batch layout (all arrays, precomputed offline — SURVEY.md §7
+    'Precompute, don't inline'):
+      mels       [B, 80, 16]   per-frame mel chunks
+      gt_rgb     [B, H, W, 3]
+      head_mask  [B, H, W, 1]
+      iden/expr/text/illu codes, audio_exp [B, 64] (SadTalker exp)
+      Rmat [B,3,3], Tvec [B,3], inv_inmat [B,3,3]
+      xy [B, N_r, 2]
+    """
+    cdt = compute_dtype or (jnp.bfloat16 if train_cfg.bf16_compute else jnp.float32)
+    model = HeadNeRF(nerf_cfg, compute_dtype=cdt)
+    audio_model = Audio2Style()
+    optimizer = make_optimizer(train_cfg, steps_per_epoch)
+
+    def assemble_codes(batch, audio_exp):
+        expr = batch["expr"]
+        if audio_exp is not None:
+            # audio-predicted exp overwrites expr[:64] (talker_trainer.py:853)
+            expr = jnp.concatenate([audio_exp, expr[:, 64:]], axis=-1)
+        shape_code = jnp.concatenate([batch["iden"], expr], axis=-1)
+        appea_code = jnp.concatenate([batch["text"], batch["illu"]], axis=-1)
+        return shape_code, appea_code
+
+    def forward(params, batch, rng, deterministic):
+        audio_style = audio_model.apply(
+            params["audio"], batch["mels"], deterministic=deterministic,
+            rngs=None if deterministic else {"dropout": rng},
+        )
+        shape_code, appea_code = assemble_codes(batch, batch.get("audio_exp"))
+        pred = model.apply(
+            params["nerf"],
+            batch_xy=batch["xy"],
+            shape_code=shape_code,
+            appea_code=appea_code,
+            audio_style=audio_style,
+            Rmat=batch["Rmat"],
+            Tvec=batch["Tvec"],
+            inv_inmat=batch["inv_inmat"],
+            rng=None if deterministic else rng,
+        )
+        return pred
+
+    def loss_fn(params, batch, rng):
+        pred = forward(params, batch, rng, deterministic=False)
+        losses = headnerf_losses(
+            pred, batch["gt_rgb"], batch["head_mask"],
+            bg_value=1.0 if nerf_cfg.bg_type == "white" else 0.0,
+            vgg_params=vgg_params,
+        )
+        return losses["total_loss"], losses
+
+    def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), losses
+
+    def eval_step(params, batch):
+        pred = forward(params, batch, rng=jax.random.key(0), deterministic=True)
+        losses = headnerf_losses(
+            pred, batch["gt_rgb"], batch["head_mask"],
+            bg_value=1.0 if nerf_cfg.bg_type == "white" else 0.0,
+            vgg_params=vgg_params,
+        )
+        return pred["merge_img"], losses
+
+    def render(params, batch):
+        return forward(params, batch, rng=jax.random.key(0), deterministic=True)
+
+    def init(rng: jax.Array, batch: Dict) -> TrainState:
+        r1, r2 = jax.random.split(rng)
+        nerf_params = model.init(
+            r1,
+            batch_xy=batch["xy"],
+            shape_code=jnp.zeros((1, nerf_cfg.shape_code_dims)),
+            appea_code=jnp.zeros((1, nerf_cfg.appea_code_dims)),
+            audio_style=jnp.zeros((1, nerf_cfg.audio_style_dims)),
+            Rmat=batch["Rmat"][:1],
+            Tvec=batch["Tvec"][:1],
+            inv_inmat=batch["inv_inmat"][:1],
+        )
+        audio_params = audio_model.init(r2, batch["mels"])
+        params = {"nerf": nerf_params, "audio": audio_params}
+        return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    return StepFns(
+        train_step=jax.jit(train_step),
+        eval_step=jax.jit(eval_step),
+        render=jax.jit(render),
+        init=init,
+    )
