@@ -1,0 +1,2 @@
+from nerf3dtalker_tpu.parallel.mesh import make_mesh, batch_sharding, replicated  # noqa: F401
+from nerf3dtalker_tpu.parallel.partial_fc import sharded_softmax_ce  # noqa: F401

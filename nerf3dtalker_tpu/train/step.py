@@ -66,6 +66,7 @@ def build_step_fns(
     steps_per_epoch: int = 1,
     vgg_params=None,
     compute_dtype=None,
+    mesh=None,
 ) -> StepFns:
     """Construct (train_step, eval_step, render, init) closures.
 
@@ -156,9 +157,37 @@ def build_step_fns(
         params = {"nerf": nerf_params, "audio": audio_params}
         return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
+    if mesh is None:
+        return StepFns(
+            train_step=jax.jit(train_step),
+            eval_step=jax.jit(eval_step),
+            render=jax.jit(render),
+            init=init,
+        )
+
+    # ---- multi-chip: batch over "data", rays over "rays", params
+    # replicated; gradient psum over ICI is inserted (and overlapped with
+    # backward) by XLA — the DDP equivalent (SURVEY.md §2.9 P2/P6).
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    data_sh = NamedSharding(mesh, P("data"))
+    ray_sh = NamedSharding(mesh, P("data", "rays"))
+    batch_sh = {
+        "mels": data_sh, "gt_rgb": data_sh, "head_mask": data_sh,
+        "iden": data_sh, "expr": data_sh, "text": data_sh, "illu": data_sh,
+        "audio_exp": data_sh, "Rmat": data_sh, "Tvec": data_sh,
+        "inv_inmat": data_sh, "xy": ray_sh,
+    }
     return StepFns(
-        train_step=jax.jit(train_step),
-        eval_step=jax.jit(eval_step),
-        render=jax.jit(render),
+        train_step=jax.jit(
+            train_step, in_shardings=(repl, batch_sh, repl),
+            out_shardings=(repl, repl),
+        ),
+        eval_step=jax.jit(
+            eval_step, in_shardings=(repl, batch_sh),
+            out_shardings=(data_sh, repl),
+        ),
+        render=jax.jit(render, in_shardings=(repl, batch_sh)),
         init=init,
     )
