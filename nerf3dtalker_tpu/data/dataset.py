@@ -1,0 +1,103 @@
+"""Array-based training dataset.
+
+The reference's `GazeDataset_normailzed_from_hdf`
+(XGaze_utils/data_loader_xgaze_new.py:845-1239) runs Wav2Lip + S3FD +
+Deep3DFaceRecon inference *inside* `__getitem__` (:938-1066), reloading
+checkpoints per item. Here (SURVEY.md §7 'Precompute, don't inline') all of
+that is an offline preprocessing stage emitting arrays; training input is
+pure array slicing — no process-boundary workers, no per-item model loads.
+
+Schema per subject (all numpy, frame-major):
+  images     [T, H, W, 3] float32 in [0,1]
+  head_mask  [T, H, W, 1] float32
+  mels       [T, 80, 16]            per-frame mel chunks
+  audio_exp  [T, 64]                SadTalker exp of the lip-synced frame
+  iden/text/illu [T, ...]           3DMM codes from *_nl3dmm.pkl
+  expr       [T, 79]
+  Rmat [T,3,3], Tvec [T,3], inv_inmat [T,3,3]
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+REQUIRED_KEYS = (
+    "images", "head_mask", "mels", "audio_exp",
+    "iden", "expr", "text", "illu", "Rmat", "Tvec", "inv_inmat",
+)
+
+
+class FrameDataset:
+    """In-memory per-frame dataset with train/val split and batching."""
+
+    def __init__(self, arrays: Dict[str, np.ndarray], xy: np.ndarray):
+        missing = [k for k in REQUIRED_KEYS if k not in arrays]
+        if missing:
+            raise ValueError(f"missing dataset keys: {missing}")
+        T = arrays["images"].shape[0]
+        for k, v in arrays.items():
+            if v.shape[0] != T:
+                raise ValueError(f"{k} has {v.shape[0]} frames, expected {T}")
+        self.arrays = arrays
+        self.xy = xy  # [1, N_r, 2]
+        self.num_frames = T
+
+    def __len__(self) -> int:
+        return self.num_frames
+
+    def batch(self, idx: np.ndarray) -> Dict[str, np.ndarray]:
+        b = {
+            "gt_rgb": self.arrays["images"][idx],
+            "head_mask": self.arrays["head_mask"][idx],
+            "mels": self.arrays["mels"][idx],
+            "audio_exp": self.arrays["audio_exp"][idx],
+            "iden": self.arrays["iden"][idx],
+            "expr": self.arrays["expr"][idx],
+            "text": self.arrays["text"][idx],
+            "illu": self.arrays["illu"][idx],
+            "Rmat": self.arrays["Rmat"][idx],
+            "Tvec": self.arrays["Tvec"][idx],
+            "inv_inmat": self.arrays["inv_inmat"][idx],
+        }
+        b["xy"] = np.tile(self.xy, (len(idx), 1, 1))
+        return b
+
+    def epoch(
+        self, batch_size: int, rng: Optional[np.random.Generator] = None,
+        drop_last: bool = True,
+    ) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(self.num_frames)
+        if rng is not None:
+            rng.shuffle(order)
+        end = self.num_frames - (self.num_frames % batch_size) if drop_last else self.num_frames
+        for i in range(0, end, batch_size):
+            yield self.batch(order[i : i + batch_size])
+
+
+def synthetic_dataset(
+    cfg, num_frames: int = 8, seed: int = 0
+) -> FrameDataset:
+    """Random dataset for tests/benchmarks at a given NeRFConfig scale."""
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+
+    rng = np.random.default_rng(seed)
+    xy, _ = ray_grid(cfg.featmap_size)
+    cam = base_cam(cfg.featmap_size)
+    T, S = num_frames, cfg.pred_img_size
+    f32 = np.float32
+    arrays = {
+        "images": rng.uniform(0, 1, (T, S, S, 3)).astype(f32),
+        "head_mask": (rng.uniform(0, 1, (T, S, S, 1)) > 0.4).astype(f32),
+        "mels": rng.standard_normal((T, 80, 16)).astype(f32),
+        "audio_exp": rng.standard_normal((T, 64)).astype(f32) * 0.1,
+        "iden": rng.standard_normal((T, 100)).astype(f32) * 0.1,
+        "expr": rng.standard_normal((T, 79)).astype(f32) * 0.1,
+        "text": rng.standard_normal((T, 100)).astype(f32) * 0.1,
+        "illu": rng.standard_normal((T, 27)).astype(f32) * 0.1,
+        "Rmat": np.tile(cam.Rmat, (T, 1, 1)).astype(f32),
+        "Tvec": np.tile(cam.Tvec.reshape(1, 3), (T, 1)).astype(f32),
+        "inv_inmat": np.tile(cam.inv_inmat, (T, 1, 1)).astype(f32),
+    }
+    return FrameDataset(arrays, xy)

