@@ -35,6 +35,27 @@ from nerf3dtalker_tpu.ops.rays import (
 class HeadNeRF(nn.Module):
     cfg: NeRFConfig
     compute_dtype: jnp.dtype = jnp.float32
+    # Route PE+MLP+compositing through the fused Pallas kernel
+    # (ops/pallas/fused_render.py). Falls back to the jnp path when the
+    # config doesn't match the kernel's compiled constants.
+    use_fused: bool = False
+    fused_interpret: bool = False   # interpreter mode (CPU tests)
+
+    @property
+    def _fused_ok(self) -> bool:
+        from nerf3dtalker_tpu.ops.pallas import fused_render as fr
+
+        cfg = self.cfg
+        return (
+            self.use_fused
+            and not cfg.include_vd
+            and not cfg.hier_sampling
+            and not cfg.include_gaze
+            and cfg.mlp_hidden == fr.H
+            and cfg.featmap_nc == fr.FEAT
+            and cfg.num_sample_coarse == fr.NS
+            and cfg.vp_n_freqs * 6 + 3 == 63
+        )
 
     def setup(self):
         cfg = self.cfg
@@ -102,12 +123,14 @@ class HeadNeRF(nn.Module):
         )
         sp = sample_points(rays, zb)
 
-        feat, density = self._point_features(
-            self.mlp, sp.pts, sp.dirs, shape_code, appea_code, audio_style
-        )
-        comp = alpha_composite(feat, density[..., 0], sp.z_dists, sp.zvals)
-
-        out = self._render_maps(comp, B, S)
+        if self._fused_ok and not self.is_initializing():
+            out = self._fused_forward(sp, shape_code, appea_code, audio_style, B, S)
+        else:
+            feat, density = self._point_features(
+                self.mlp, sp.pts, sp.dirs, shape_code, appea_code, audio_style
+            )
+            comp = alpha_composite(feat, density[..., 0], sp.z_dists, sp.zvals)
+            out = self._render_maps(comp, B, S)
 
         if cfg.hier_sampling:
             fz = fine_zvals(
@@ -123,6 +146,28 @@ class HeadNeRF(nn.Module):
             out["fine_merge_img"] = fine_out["merge_img"]
 
         return out
+
+    def _fused_forward(self, sp, shape_code, appea_code, audio_style, B, S):
+        """PE + MLP + compositing via the fused Pallas kernel."""
+        from nerf3dtalker_tpu.ops.compositing import CompositeResult
+        from nerf3dtalker_tpu.ops.pallas import fused_render as fr
+
+        cfg = self.cfg
+        pe = positional_encoding(sp.pts, cfg.vp_n_freqs, cfg.vp_include_input)
+        pe = jnp.pad(pe, ((0, 0), (0, 0), (0, 0), (0, fr.PE_PAD - pe.shape[-1])))
+        packed = fr.pack_weights(
+            self.mlp.variables["params"], shape_code, appea_code, audio_style
+        )
+        tile = min(256, pe.shape[1])
+        feat, bg_alpha, depth = fr.fused_render(
+            pe, sp.z_dists, sp.zvals, packed,
+            tile, jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 else jnp.float32,
+            self.fused_interpret,
+        )
+        comp = CompositeResult(
+            features=feat, bg_alpha=bg_alpha, depth=depth, weights=None
+        )
+        return self._render_maps(comp, B, S)
 
     def _render_maps(self, comp, B, S):
         cfg = self.cfg

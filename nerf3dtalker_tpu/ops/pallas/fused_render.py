@@ -1,0 +1,305 @@
+"""Fused NeRF point-MLP + volume compositing Pallas kernel.
+
+The hot loop of the framework (SURVEY.md §7 Phase 3, BASELINE.json north
+star): for each (batch, ray-tile) grid step, evaluate the 8-layer 384-wide
+MLP (NetWorks/models.py:29-87 topology) over the tile's 64 samples and
+alpha-composite (NetWorks/utils.py:268-308) — entirely in VMEM. The
+[P, 384] inter-layer activations never touch HBM; per chip we read only
+the 64-f32 positional encoding per point and write the 256-f32 composited
+feature per ray. Weights stay VMEM-resident across the whole grid
+(constant index_map).
+
+Weight/bias layout (kernels [in, out]; per-batch conditioning codes folded
+into biases by `pack_weights` — a linear op, so grads flow back through it):
+  w0p   [PE_PAD, H]  fea_0 rows for the (padded) positional encoding
+  wh    [6, H, H]    fea_1..4, fea_6, fea_7
+  w5p   [PE_PAD, H]  fea_5 skip rows for PE     (skip concat [vp | x])
+  w5x   [H, H]       fea_5 rows for the hidden state
+  wd    [H, DPAD]    density head (col 0 live, lane-padded)
+  wr0   [H, H]       rgb_0 (no activation after; models.py:78)
+  wr1   [H, H2]      rgb_1 hidden rows (appearance code folded into br1)
+  wr2   [H2, C]      rgb_2
+  b0, b5 [B, H]; br1 [B, H2]  — per-batch (code-dependent)
+  bh [6, H]; bd scalar; br0 [H]; br2 [C] — shared
+
+The cumulative transmittance product is computed in log space with a
+strictly-lower-triangular matmul (exclusive cumsum on the MXU) — no scan.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H = 384          # mlp hidden (HeadNeRFOptions.py:25)
+H2 = 192         # rgb_1 out (h // 2)
+PE_PAD = 64      # 63-d PE padded to lane-friendly 64
+DPAD = 128       # density head padded lanes
+NS = 64          # samples per ray (HeadNeRFOptions.py:20)
+FEAT = 256       # featmap_nc
+
+
+def _mlp_tile(pe, w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
+              b0, bh, b5, bd, br0, br1, br2, dtype):
+    """Point MLP over one tile: pe [N, PE_PAD] -> (rgb [N, FEAT], sigma [N])."""
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    pe = pe.astype(dtype)
+    x = jnp.maximum(mm(pe, w0p) + b0, 0.0).astype(dtype)
+    for i in range(4):                      # fea_1..fea_4
+        x = jnp.maximum(mm(x, wh[i]) + bh[i], 0.0).astype(dtype)
+    # fea_5 with skip concat [pe|shape | x] -> split matmuls
+    x = jnp.maximum(mm(pe, w5p) + mm(x, w5x) + b5, 0.0).astype(dtype)
+    for i in range(4, 6):                   # fea_6, fea_7
+        x = jnp.maximum(mm(x, wh[i]) + bh[i], 0.0).astype(dtype)
+
+    sigma = jnp.maximum(mm(x, wd)[:, 0] + bd, 0.0)          # relu density
+    r = (mm(x, wr0) + br0).astype(dtype)                    # no activation
+    r = jnp.maximum(mm(r, wr1) + br1, 0.0).astype(dtype)
+    rgb = mm(r, wr2) + br2                                  # f32 out
+    return rgb, sigma
+
+
+def _exclusive_cumprod(t):
+    """Exact exclusive cumulative product along the last (NS) axis via
+    log2(NS) shift-multiply doubling steps — no scan, no log-space loss."""
+    ones = jnp.ones_like(t[..., :1])
+    # shift right by 1 (exclusive), then inclusive scan by doubling
+    t = jnp.concatenate([ones, t[..., :-1]], axis=-1)
+    shift = 1
+    while shift < NS:
+        pad = jnp.ones_like(t[..., :shift])
+        t = t * jnp.concatenate([pad, t[..., :-shift]], axis=-1)
+        shift *= 2
+    return t
+
+
+def _composite_tile(rgb, sigma, z_dists, zvals, tr, ltri):
+    """rgb [TR*NS, FEAT], sigma [TR*NS] -> feat [TR, FEAT], aux."""
+    del ltri  # retained in the signature for ABI stability
+    sigma = sigma.reshape(tr, NS)
+    alpha = 1.0 - jnp.exp(-sigma * z_dists)
+    trans = _exclusive_cumprod(1.0 - alpha + 1e-10)
+    w = alpha * trans                                        # [TR, NS]
+    feat = jnp.sum(rgb.reshape(tr, NS, FEAT) * w[:, :, None], axis=1)
+    acc = jnp.sum(w, axis=-1)
+    depth = jnp.sum(w * zvals, axis=-1)
+    return feat, 1.0 - acc, depth, w
+
+
+def _fwd_kernel(pe_ref, zd_ref, zv_ref,
+                w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
+                b0, bh, b5, bd, br0, br1, br2, ltri,
+                feat_ref, aux_ref, *, tr, dtype):
+    pe = pe_ref[...].reshape(tr * NS, PE_PAD)
+    rgb, sigma = _mlp_tile(
+        pe, w0p[...], wh[...], w5p[...], w5x[...], wd[...], wr0[...],
+        wr1[...], wr2[...],
+        b0[...][0], bh[...], b5[...][0], bd[0, 0], br0[...], br1[...][0],
+        br2[...], dtype,
+    )
+    feat, bg_alpha, depth, w = _composite_tile(
+        rgb, sigma, zd_ref[...][0], zv_ref[...][0], tr, ltri[...]
+    )
+    feat_ref[...] = feat[None]
+    aux = jnp.zeros((tr, DPAD), jnp.float32)
+    aux = aux.at[:, 0].set(bg_alpha)
+    aux = aux.at[:, 1].set(depth)
+    aux_ref[...] = aux[None]
+
+
+def _strict_lower_tri():
+    return np.tril(np.ones((NS, NS), np.float32), k=-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_rays", "compute_dtype", "interpret")
+)
+def fused_render_fwd(
+    pe: jnp.ndarray,        # [B, R, NS, PE_PAD] f32 (PE padded 63 -> 64)
+    z_dists: jnp.ndarray,   # [B, R, NS]
+    zvals: jnp.ndarray,     # [B, R, NS]
+    weights: dict,          # packed kernel weights, see pack_weights()
+    tile_rays: int = 256,
+    compute_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Returns (features [B, R, FEAT], bg_alpha [B, R], depth [B, R])."""
+    B, R = pe.shape[0], pe.shape[1]
+    assert R % tile_rays == 0, (R, tile_rays)
+    n_tiles = R // tile_rays
+    cdt = compute_dtype
+
+    ltri = jnp.asarray(_strict_lower_tri())
+
+    def ray_block(shape):
+        return pl.BlockSpec(
+            (1, tile_rays) + shape,
+            lambda b, t: (b, t) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def const_block(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda b, t: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    def bbatch_block(arr):  # [B, X] -> per-batch row
+        return pl.BlockSpec(
+            (1, arr.shape[1]), lambda b, t: (b, 0), memory_space=pltpu.VMEM
+        )
+
+    w = {k: v.astype(cdt) for k, v in weights.items() if k.startswith("w")}
+    b = {k: v.astype(jnp.float32) for k, v in weights.items() if k.startswith("b")}
+    bd = b["bd"].reshape(1, 1)
+
+    args = (
+        pe, z_dists, zvals,
+        w["w0p"], w["wh"], w["w5p"], w["w5x"], w["wd"],
+        w["wr0"], w["wr1"], w["wr2"],
+        b["b0"], b["bh"], b["b5"], bd, b["br0"], b["br1"], b["br2"], ltri,
+    )
+    in_specs = (
+        [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,))]
+        + [const_block(a) for a in args[3:11]]
+        + [bbatch_block(b["b0"]), const_block(b["bh"]), bbatch_block(b["b5"]),
+           const_block(bd), const_block(b["br0"]), bbatch_block(b["br1"]),
+           const_block(b["br2"]), const_block(ltri)]
+    )
+
+    feat, aux = pl.pallas_call(
+        functools.partial(_fwd_kernel, tr=tile_rays, dtype=cdt),
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=[ray_block((FEAT,)), ray_block((DPAD,))],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, R, FEAT), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, DPAD), jnp.float32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * R * NS * (PE_PAD * H + 7 * H * H + PE_PAD * H
+                                    + H * H2 + H2 * FEAT + H * DPAD),
+            bytes_accessed=B * R * NS * PE_PAD * 4 + B * R * FEAT * 4,
+            transcendentals=B * R * NS,
+        ),
+    )(*args)
+    return feat, aux[..., 0], aux[..., 1]
+
+
+def pack_weights(mlp_params: dict, shape_code, appea_code, audio_style) -> dict:
+    """Fold the reference-layout NeRFMLP params (models/nerf_mlp.py) plus
+    the per-batch [B, ...] conditioning codes into the kernel layout."""
+    p = mlp_params
+    P_LIVE = 63
+
+    def pad_pe_rows(k):
+        return jnp.pad(k, ((0, PE_PAD - P_LIVE), (0, 0)))
+
+    k0 = p["fea_0_kernel"]          # [63+179+64, H]
+    S = shape_code.shape[-1]
+    b0 = (
+        shape_code @ k0[P_LIVE : P_LIVE + S]
+        + audio_style @ k0[P_LIVE + S :]
+        + p["fea_0_bias"]
+    )                               # [B, H]
+    k5 = p["fea_5_kernel"]          # [63+179+H, H]
+    b5 = shape_code @ k5[P_LIVE : P_LIVE + S] + p["fea_5_bias"]
+    kr1 = p["rgb_1_kernel"]         # [H+127, H2]
+    br1 = appea_code @ kr1[H:] + p["rgb_1_bias"]
+
+    wh = jnp.stack([p[f"fea_{i}_kernel"] for i in (1, 2, 3, 4, 6, 7)])
+    bh = jnp.stack([p[f"fea_{i}_bias"] for i in (1, 2, 3, 4, 6, 7)])
+
+    return {
+        "w0p": pad_pe_rows(k0[:P_LIVE]),
+        "wh": wh,
+        "w5p": pad_pe_rows(k5[:P_LIVE]),
+        "w5x": k5[P_LIVE + S :],
+        "wd": jnp.pad(p["density_kernel"], ((0, 0), (0, DPAD - 1))),
+        "wr0": p["rgb_0_kernel"],
+        "wr1": kr1[:H],
+        "wr2": p["rgb_2_kernel"],
+        "b0": b0,
+        "bh": bh,
+        "b5": b5,
+        "bd": p["density_bias"].reshape(()),
+        "br0": p["rgb_0_bias"],
+        "br1": br1,
+        "br2": p["rgb_2_bias"],
+    }
+
+
+def reference_render(pe, z_dists, zvals, weights, compute_dtype=jnp.float32):
+    """Pure-jnp oracle with identical math (parity tests + the recompute
+    path of the custom_vjp backward). Shapes as fused_render_fwd."""
+    B, R = pe.shape[0], pe.shape[1]
+    w = {k: (v.astype(compute_dtype) if k.startswith("w") else v)
+         for k, v in weights.items()}
+    ltri = jnp.asarray(_strict_lower_tri())
+
+    def one(pe_b, zd_b, zv_b, b0, b5, br1):
+        flat = pe_b.reshape(R * NS, PE_PAD)
+        rgb, sigma = _mlp_tile(
+            flat, w["w0p"], w["wh"], w["w5p"], w["w5x"], w["wd"], w["wr0"],
+            w["wr1"], w["wr2"],
+            b0, w["bh"], b5, w["bd"], w["br0"], br1, w["br2"],
+            compute_dtype,
+        )
+        return _composite_tile(rgb, sigma, zd_b, zv_b, R, ltri)[:3]
+
+    feat, bg, depth = jax.vmap(one)(
+        pe, z_dists, zvals, w["b0"], w["b5"], w["br1"]
+    )
+    return feat, bg, depth
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def fused_render(pe, z_dists, zvals, weights,
+                 tile_rays=256, compute_dtype=jnp.bfloat16, interpret=False):
+    """Differentiable fused render: Pallas forward, recompute backward.
+
+    The backward runs jax.vjp over the jnp oracle (`reference_render`) —
+    numerically identical math, XLA-fused, rematerialized (no stored [P, H]
+    activations). Gradients flow to pe, z-geometry, and every packed
+    weight/bias (and through `pack_weights`' linear fold, to the original
+    MLP params and conditioning codes).
+    """
+    return fused_render_fwd(
+        pe, z_dists, zvals, weights,
+        tile_rays=tile_rays, compute_dtype=compute_dtype, interpret=interpret,
+    )
+
+
+def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret):
+    out = fused_render_fwd(
+        pe, zd, zv, weights,
+        tile_rays=tile_rays, compute_dtype=compute_dtype, interpret=interpret,
+    )
+    return out, (pe, zd, zv, weights)
+
+
+def _fused_render_b(tile_rays, compute_dtype, interpret, res, g):
+    pe, zd, zv, weights = res
+    _, vjp = jax.vjp(
+        lambda p, d, z, w: reference_render(p, d, z, w, compute_dtype=compute_dtype),
+        pe, zd, zv, weights,
+    )
+    return vjp(g)
+
+
+fused_render.defvjp(_fused_render_f, _fused_render_b)
