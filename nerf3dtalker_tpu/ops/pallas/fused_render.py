@@ -113,9 +113,12 @@ def _fwd_kernel(pe_ref, zd_ref, zv_ref,
         rgb, sigma, zd_ref[...][0], zv_ref[...][0], tr, ltri[...]
     )
     feat_ref[...] = feat[None]
-    aux = jnp.zeros((tr, DPAD), jnp.float32)
-    aux = aux.at[:, 0].set(bg_alpha)
-    aux = aux.at[:, 1].set(depth)
+    # column-packed aux (Pallas TPU has no scatter; build by concat)
+    aux = jnp.concatenate(
+        [bg_alpha[:, None], depth[:, None],
+         jnp.zeros((tr, DPAD - 2), jnp.float32)],
+        axis=1,
+    )
     aux_ref[...] = aux[None]
 
 
