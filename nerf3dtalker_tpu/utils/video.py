@@ -1,0 +1,98 @@
+"""Video compositing / IO utilities (offline, numpy + ffmpeg CLI).
+
+Equivalents of reference `s_utils/paste_pic.py` (composite the generated
+face crop back into the original full-frame video with a feathered seam),
+`s_utils/videoio.py` (ffmpeg mux of frames + audio), and the
+`face_enhancer` interface (`s_utils/face_enhancer.py:26-123` gfpgan /
+RestoreFormer wrappers — here a pluggable callable with an identity
+default, since enhancer weights are external).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+from typing import Callable, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def paste_crop(
+    full_frame: np.ndarray,      # [H, W, 3]
+    crop: np.ndarray,            # [h, w, 3] generated face
+    box: Tuple[int, int, int, int],   # x1, y1, x2, y2 in full-frame coords
+    feather: int = 10,
+) -> np.ndarray:
+    """Paste with a feathered alpha seam (paste_pic semantics)."""
+    x1, y1, x2, y2 = box
+    h, w = y2 - y1, x2 - x1
+    crop_r = _resize_bilinear(crop, (h, w))
+    mask = np.ones((h, w, 1), np.float32)
+    if feather > 0:
+        ramp = np.linspace(0, 1, feather, dtype=np.float32)
+        mask[:feather] *= ramp[:, None, None]
+        mask[-feather:] *= ramp[::-1][:, None, None]
+        mask[:, :feather] *= ramp[None, :, None]
+        mask[:, -feather:] *= ramp[::-1][None, :, None]
+    out = full_frame.astype(np.float32).copy()
+    out[y1:y2, x1:x2] = crop_r * mask + out[y1:y2, x1:x2] * (1 - mask)
+    return out.astype(full_frame.dtype)
+
+
+def _resize_bilinear(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    import jax
+    import jax.numpy as jnp
+
+    return np.asarray(
+        jax.image.resize(jnp.asarray(img.astype(np.float32)),
+                         (hw[0], hw[1], img.shape[-1]), method="linear")
+    )
+
+
+def write_video(
+    frames: Sequence[np.ndarray],
+    path: str,
+    fps: int = 25,
+    audio_path: Optional[str] = None,
+) -> None:
+    """Pipe raw frames to ffmpeg, optionally muxing audio
+    (videoio.py save_video_with_watermark minus the watermark)."""
+    h, w = frames[0].shape[:2]
+    cmd = [
+        "ffmpeg", "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
+        "-s", f"{w}x{h}", "-r", str(fps), "-i", "-",
+    ]
+    if audio_path:
+        cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
+    cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", path]
+    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                            stderr=subprocess.DEVNULL)
+    for f in frames:
+        u8 = np.clip(f * 255 if f.dtype != np.uint8 else f, 0, 255).astype(np.uint8)
+        proc.stdin.write(u8.tobytes())
+    proc.stdin.close()
+    proc.wait()
+
+
+def identity_enhancer(frames: np.ndarray) -> np.ndarray:
+    """Default no-op enhancer (the gfpgan slot)."""
+    return frames
+
+
+def unsharp_enhancer(frames: np.ndarray, amount: float = 0.5) -> np.ndarray:
+    """Cheap sharpen as a built-in enhancer option."""
+    from scipy.ndimage import gaussian_filter
+
+    out = []
+    for f in frames:
+        blur = gaussian_filter(f, sigma=(1, 1, 0))
+        out.append(np.clip(f + amount * (f - blur), 0, 1))
+    return np.stack(out)
+
+
+def enhance_frames(
+    frames: np.ndarray,
+    enhancer: Callable[[np.ndarray], np.ndarray] = identity_enhancer,
+) -> np.ndarray:
+    """face_enhancer.py interface: batch frames through an enhancer."""
+    return enhancer(frames)

@@ -1,0 +1,93 @@
+"""Aux subsystem tests: observability, verification, video/code utils, FAN."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf3dtalker_tpu.models.fan import FAN, decode_heatmaps, landmark_heatmap_targets
+from nerf3dtalker_tpu.utils.code_utils import (
+    euler_orbit_cams,
+    lerp_codes,
+    random_codes,
+    slerp_codes,
+)
+from nerf3dtalker_tpu.utils.observability import AverageMeter, MetricLogger, Throughput
+from nerf3dtalker_tpu.utils.verification import verification_accuracy
+from nerf3dtalker_tpu.utils.video import paste_crop, unsharp_enhancer
+
+
+def test_average_meter_and_throughput():
+    m = AverageMeter()
+    for v in (1.0, 2.0, 3.0):
+        m.update(v)
+    assert m.avg == 2.0
+    t = Throughput()
+    t.tick(10)
+    assert t.tick(10) >= 0
+
+
+def test_metric_logger_jsonl(tmp_path):
+    ml = MetricLogger(str(tmp_path))
+    ml.log(0, {"loss": 1.0})
+    ml.log(1, {"loss": 0.5})
+    ml.close()
+    import json
+
+    lines = [json.loads(l) for l in open(tmp_path / "metrics.jsonl")]
+    assert len(lines) == 2 and lines[1]["loss"] == 0.5
+
+
+def test_verification_separates_classes():
+    rng = np.random.default_rng(0)
+    D = 16
+    base = rng.standard_normal((100, D))
+    same1, same2 = base, base + rng.standard_normal((100, D)) * 0.05
+    diff2 = rng.standard_normal((100, D))
+    emb1 = np.concatenate([same1, base])
+    emb2 = np.concatenate([same2, diff2])
+    issame = np.concatenate([np.ones(100, bool), np.zeros(100, bool)])
+    acc, std, thresh = verification_accuracy(emb1, emb2, issame)
+    assert acc > 0.9
+    assert 0 < thresh < 4
+
+
+def test_code_utils():
+    rng = np.random.default_rng(0)
+    codes = random_codes(rng)
+    assert codes["iden"].shape == (1, 100)
+    a, b = codes["iden"], codes["iden"] + 1
+    path = lerp_codes(a, b, 5)
+    assert path.shape == (5, 100)
+    np.testing.assert_allclose(path[0], a[0], atol=1e-6)
+    np.testing.assert_allclose(path[-1], b[0], atol=1e-6)
+    sp = slerp_codes(a, b, 5)
+    assert sp.shape == (5, 100)
+    cams = euler_orbit_cams(steps=4)
+    assert len(cams) == 4
+    R = cams[0]["Rmat"][0]
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_paste_crop_and_enhancer():
+    frame = np.zeros((64, 64, 3), np.float32)
+    crop = np.ones((16, 16, 3), np.float32)
+    out = paste_crop(frame, crop, (10, 10, 42, 42), feather=4)
+    assert out.shape == frame.shape
+    assert out[26, 26, 0] > 0.9       # center pasted
+    assert out[0, 0, 0] == 0.0        # outside untouched
+    enh = unsharp_enhancer(np.random.default_rng(0).uniform(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    assert enh.shape == (2, 16, 16, 3)
+    assert enh.min() >= 0 and enh.max() <= 1
+
+
+def test_fan_forward_and_decode():
+    m = FAN(n_stacks=1)
+    x = jnp.zeros((1, 64, 64, 3))
+    p = m.init(jax.random.key(0), x)
+    hm = m.apply(p, x)
+    assert hm.shape == (1, 16, 16, 68)
+
+    lm_true = jnp.asarray(np.array([[[4.0, 9.0], [12.0, 3.0]]], np.float32))
+    tgt = landmark_heatmap_targets(lm_true, hw=16)
+    dec = decode_heatmaps(tgt, crop_size=16)
+    np.testing.assert_allclose(np.asarray(dec[0]), np.asarray(lm_true[0]), atol=0.3)
