@@ -2,22 +2,26 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline is measured against an estimated A100 PyTorch reference
-throughput for the same workload (see _A100_RAYS_PER_S below); the
-BASELINE target is >= 3.0x.
+Timing methodology: `jax.block_until_ready` is unreliable on the axon
+TPU backend, so the measurement runs a *chained* in-jit lax.scan — each
+iteration's params are perturbed by its own gradients, forcing strict
+sequential execution — with one scalar host transfer at the end
+(see nerf3dtalker_tpu/utils/timing.py).
+
+vs_baseline anchors on an estimated A100 PyTorch reference throughput for
+the same workload (see _A100_RAYS_PER_S); the BASELINE target is >= 3.0x.
 """
 
 from __future__ import annotations
 
 import json
-import time
 
 import numpy as np
 
 # Estimated reference throughput: the PyTorch HeadNeRF trainer at Reso64
 # processes one 4096-ray frame per optimizer step; published HeadNeRF-class
 # training runs ~8-10 it/s on A100-80GB for this workload (unfused
-# [B,306,4096,64] conv1x1 stack fwd+bwd) => ~35k rays/s. Until a torch
+# [B,306,4096,64] conv1x1 stack fwd+bwd) => ~35-40k rays/s. Until a torch
 # run of the actual reference is possible in-image, this constant anchors
 # vs_baseline; it errs high (favoring the baseline).
 _A100_RAYS_PER_S = 40_000.0
@@ -30,6 +34,7 @@ def main():
     from nerf3dtalker_tpu.config import reso64
     from nerf3dtalker_tpu.models import HeadNeRF
     from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+    from nerf3dtalker_tpu.utils.timing import chained_time
 
     cfg = reso64()
     model = HeadNeRF(cfg, compute_dtype=jnp.bfloat16)
@@ -49,32 +54,22 @@ def main():
     )
     params = model.init(jax.random.key(0), **inp)
     target = jnp.full((B, cfg.pred_img_size, cfg.pred_img_size, 3), 0.5)
-    mask = jnp.ones((B, cfg.pred_img_size, cfg.pred_img_size, 1))
 
-    def loss_fn(p, i):
-        out = model.apply(p, **i)
+    def loss_fn(p, aud):
+        out = model.apply(p, **{**inp, "audio_style": aud})
         img = jnp.nan_to_num(out["merge_img"])
-        head = jnp.mean(((img - target) ** 2) * mask)
-        bg = jnp.mean((out["bg_img"] - 1.0) ** 2)
-        return head + bg
+        return jnp.mean((img - target) ** 2) + jnp.mean((out["bg_img"] - 1.0) ** 2)
 
-    step = jax.jit(jax.value_and_grad(loss_fn))
+    grad_fn = jax.grad(loss_fn)
 
-    # compile
-    l, g = step(params, inp)
-    jax.block_until_ready((l, g))
+    def step(p):
+        return grad_fn(p, inp["audio_style"])
 
-    # timed: vary a code input each iter so no caching shortcut applies
-    iters = 20
-    styles = [
-        jnp.asarray(rng.standard_normal((B, 64)).astype(f32) * 0.1)
-        for _ in range(iters)
-    ]
-    t0 = time.perf_counter()
-    for i in range(iters):
-        l, g = step(params, {**inp, "audio_style": styles[i]})
-    jax.block_until_ready((l, g))
-    dt = (time.perf_counter() - t0) / iters
+    def perturb(p, grads):
+        # SGD-like chaining: forces sequential dependence between iterations
+        return jax.tree.map(lambda a, g: a - 1e-9 * g, p, grads)
+
+    dt = chained_time(step, perturb, params, iters=10)
 
     n_rays = B * cfg.n_rays
     rays_per_s = n_rays / dt

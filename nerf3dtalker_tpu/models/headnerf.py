@@ -158,7 +158,10 @@ class HeadNeRF(nn.Module):
         packed = fr.pack_weights(
             self.mlp.variables["params"], shape_code, appea_code, audio_style
         )
-        tile = min(256, pe.shape[1])
+        # tile of 64 rays x 64 samples = 4096 points: the largest tile whose
+        # double-buffered activations + resident weights fit in 16MB VMEM
+        # (bigger tiles force Mosaic to spill and lose the fusion win)
+        tile = min(64, pe.shape[1])
         feat, bg_alpha, depth = fr.fused_render(
             pe, sp.z_dists, sp.zvals, packed,
             tile, jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 else jnp.float32,
