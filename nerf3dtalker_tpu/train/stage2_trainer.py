@@ -1,0 +1,78 @@
+"""CodeTalker stage-2 trainer (train_pred equivalent).
+
+Equivalent of reference `StandardizedSpace/main/train_pred.py:1-246`: the
+autoregressive speech->motion predictor is trained with teacher forcing
+against the frozen stage-1 codebook — motion MSE through the frozen
+decoder + code-regression MSE (stage2.py:93-100) — AdamW + StepLR, the
+stage-1 autoencoder's params frozen.
+"""
+
+from __future__ import annotations
+
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from nerf3dtalker_tpu.config import VQConfig
+from nerf3dtalker_tpu.models.vq.stage2 import CodeTalker, stage2_loss
+
+
+class Stage2TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def build_stage2_step(
+    cfg: VQConfig,
+    vq_apply,              # frozen stage-1: quantize + decode callables
+    vertice_dim: int,
+    lr: float = 1e-4,
+    weight_decay: float = 2e-3,
+    feature_dim: int = 64,
+    n_subjects: int = 8,
+):
+    """vq_apply must provide:
+       quantize(codes [B, L, e]) -> (quantized, indices)
+       get_gt_quant(motion [B, T, V3]) -> [B, L, e]
+       decode(quantized) -> motion [B, T, V3]
+    Batch: audio_feats [B, S, 768]; motion [B, T, V3]; onehot [B, n_subj].
+    """
+    model = CodeTalker(
+        cfg, feature_dim=feature_dim, n_subjects=n_subjects,
+        vertice_dim=vertice_dim,
+    )
+    optimizer = optax.adamw(lr, weight_decay=weight_decay)
+
+    def loss_fn(params, batch):
+        pred_codes = model.apply(
+            params, batch["audio_feats"], batch["motion"], batch["onehot"]
+        )
+        gt_quant = vq_apply["get_gt_quant"](batch["motion"])
+        quantized, _ = vq_apply["quantize"](pred_codes)
+        recon = vq_apply["decode"](quantized)
+        total, (lm, lr_) = stage2_loss(pred_codes, gt_quant, recon, batch["motion"])
+        return total, {"loss_motion": lm, "loss_reg": lr_, "total_loss": total}
+
+    def init(rng, batch):
+        params = model.init(
+            rng, batch["audio_feats"], batch["motion"], batch["onehot"]
+        )
+        return Stage2TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
+
+    @jax.jit
+    def train_step(state: Stage2TrainState, batch):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch
+        )
+        updates, opt = optimizer.update(grads, state.opt_state, state.params)
+        return (
+            Stage2TrainState(
+                optax.apply_updates(state.params, updates), opt, state.step + 1
+            ),
+            metrics,
+        )
+
+    return init, train_step
