@@ -122,11 +122,17 @@ def build_step_fns(
         return losses["total_loss"], losses
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
+        from nerf3dtalker_tpu.utils.guards import guarded_update
+
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
         )
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
+        # skip the update when gradients are non-finite (first-class version
+        # of the reference's isnan warning, talker_trainer.py:1071-1073)
+        new_params, ok = guarded_update(state.params, new_params, grads)
+        losses = {**losses, "finite_step": ok.astype(jnp.float32)}
         return TrainState(new_params, new_opt, state.step + 1), losses
 
     def eval_step(params, batch):

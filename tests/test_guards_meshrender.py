@@ -1,0 +1,92 @@
+"""Guards (NaN skip) and mesh-sequence rendering tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf3dtalker_tpu.utils.guards import StepGuard, guarded_update, tree_isfinite
+from nerf3dtalker_tpu.utils.mesh_render import render_mesh_sequence
+
+
+def test_tree_isfinite():
+    assert bool(tree_isfinite({"a": jnp.ones(3), "b": jnp.zeros(2)}))
+    assert not bool(tree_isfinite({"a": jnp.asarray([1.0, jnp.nan])}))
+    assert not bool(tree_isfinite({"a": jnp.asarray([jnp.inf])}))
+    assert bool(tree_isfinite({"ints": jnp.arange(3)}))  # ints ignored
+
+
+def test_guarded_update_skips_bad():
+    p = {"w": jnp.ones(3)}
+    new = {"w": jnp.zeros(3)}
+    good = {"w": jnp.ones(3)}
+    bad = {"w": jnp.asarray([1.0, jnp.nan, 1.0])}
+    out, ok = guarded_update(p, new, good)
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(out["w"]), 0.0)
+    out, ok = guarded_update(p, new, bad)
+    assert not bool(ok)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0)
+
+
+def test_step_guard_raises_after_run():
+    g = StepGuard(max_consecutive_bad=3)
+    assert g.check(True, 0)
+    assert not g.check(False, 1)
+    assert not g.check(False, 2)
+    with pytest.raises(FloatingPointError):
+        g.check(False, 3)
+    # recovery resets the run
+    g2 = StepGuard(max_consecutive_bad=3)
+    g2.check(False, 0)
+    g2.check(True, 1)
+    assert g2.bad_run == 0
+
+
+def test_train_step_reports_finite_flag():
+    from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+    from nerf3dtalker_tpu.train.step import build_step_fns
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+
+    cfg = NeRFConfig(featmap_size=8, featmap_nc=32, pred_img_size=32,
+                     num_sample_coarse=8, mlp_hidden=32)
+    fns = build_step_fns(cfg, TrainConfig(bf16_compute=False, use_vgg_loss=False))
+    rng = np.random.default_rng(0)
+    xy, _ = ray_grid(8)
+    cam = base_cam(8)
+    B = 1
+    f32 = np.float32
+    batch = {
+        "mels": jnp.asarray(rng.standard_normal((B, 80, 16)).astype(f32)),
+        "gt_rgb": jnp.asarray(rng.uniform(0, 1, (B, 32, 32, 3)).astype(f32)),
+        "head_mask": jnp.ones((B, 32, 32, 1)),
+        "iden": jnp.zeros((B, 100)), "expr": jnp.zeros((B, 79)),
+        "text": jnp.zeros((B, 100)), "illu": jnp.zeros((B, 27)),
+        "audio_exp": jnp.zeros((B, 64)),
+        "Rmat": jnp.asarray(cam.Rmat), "Tvec": jnp.asarray(cam.Tvec),
+        "inv_inmat": jnp.asarray(cam.inv_inmat),
+        "xy": jnp.asarray(xy),
+    }
+    state = fns.init(jax.random.key(0), batch)
+    state, losses = fns.train_step(state, batch, jax.random.key(1))
+    assert float(losses["finite_step"]) == 1.0
+
+
+def test_render_mesh_sequence():
+    # a plane mesh pulsing in z across 3 frames
+    G = 5
+    xs, ys = np.meshgrid(np.linspace(-1, 1, G), np.linspace(-1, 1, G))
+    base = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3).astype(np.float32)
+    tri = []
+    for r in range(G - 1):
+        for c in range(G - 1):
+            i = r * G + c
+            tri += [[i, i + 1, i + G], [i + 1, i + G + 1, i + G]]
+    faces = np.array(tri, np.int32)
+    seq = np.stack([base + [0, 0, 0.1 * t] for t in range(3)])
+    frames = render_mesh_sequence(seq, faces, image_size=32, focal=20.0, chunk=32)
+    assert frames.shape == (3, 32, 32, 3)
+    assert np.isfinite(frames).all()
+    # mesh covers the center; background is white
+    assert frames[0, 16, 16, 0] < 1.0
+    assert frames[0, 0, 0, 0] == 1.0
