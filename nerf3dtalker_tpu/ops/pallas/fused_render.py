@@ -271,6 +271,296 @@ def reference_render(pe, z_dists, zvals, weights, compute_dtype=jnp.float32):
     return feat, bg, depth
 
 
+# ---------------------------------------------------------------- backward
+
+
+def _mlp_tile_fwd_stash(pe, w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
+                        b0, bh, b5, bd, br0, br1, br2, dtype):
+    """Forward keeping every activation for the in-kernel backward."""
+    f32 = jnp.float32
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    pe = pe.astype(dtype)
+    xs = []
+    x = jnp.maximum(mm(pe, w0p) + b0, 0.0).astype(dtype)
+    xs.append(x)
+    for i in range(4):
+        x = jnp.maximum(mm(x, wh[i]) + bh[i], 0.0).astype(dtype)
+        xs.append(x)
+    x = jnp.maximum(mm(pe, w5p) + mm(x, w5x) + b5, 0.0).astype(dtype)
+    xs.append(x)
+    for i in range(4, 6):
+        x = jnp.maximum(mm(x, wh[i]) + bh[i], 0.0).astype(dtype)
+        xs.append(x)
+
+    sigma_pre = mm(x, wd)[:, 0] + bd
+    sigma = jnp.maximum(sigma_pre, 0.0)
+    r0 = (mm(x, wr0) + br0).astype(dtype)
+    r1 = jnp.maximum(mm(r0, wr1) + br1, 0.0).astype(dtype)
+    rgb = mm(r1, wr2) + br2
+    return pe, xs, sigma_pre, sigma, r0, r1, rgb
+
+
+def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
+                w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
+                b0, bh, b5, bd, br0, br1, br2, ltri,
+                dpe_ref, dzd_ref, dzv_ref,
+                dw0p, dwh, dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
+                db0, dbh, db5, dbd, dbr0, dbr1, dbr2,
+                *, tr, dtype):
+    """Recompute forward, backprop in VMEM, accumulate weight grads across
+    grid steps (constant-index outputs persist; init on the first step)."""
+    f32 = jnp.float32
+    b_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+
+    def mmT_r(a, b):
+        """a @ b.T : contract last dims."""
+        return jax.lax.dot_general(
+            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        )
+
+    def mmT_l(a, b):
+        """a.T @ b : contract first dims."""
+        return jax.lax.dot_general(
+            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+        )
+
+    pe_in = pe_ref[...].reshape(tr * NS, PE_PAD)
+    pe, xs, sigma_pre, sigma, r0, r1, rgb = _mlp_tile_fwd_stash(
+        pe_in, w0p[...], wh[...], w5p[...], w5x[...], wd[...], wr0[...],
+        wr1[...], wr2[...],
+        b0[...][0], bh[...], b5[...][0], bd[0, 0], br0[...], br1[...][0],
+        br2[...], dtype,
+    )
+    zd = zd_ref[...][0]
+    zv = zv_ref[...][0]
+
+    # ---- composite fwd (for weights) + bwd ----
+    sig = sigma.reshape(tr, NS)
+    alpha = 1.0 - jnp.exp(-sig * zd)
+    t = 1.0 - alpha + 1e-10
+    T = _exclusive_cumprod(t)
+    w = alpha * T                                       # [tr, NS]
+
+    g_feat = gf_ref[...][0]                              # [tr, FEAT]
+    gaux = gaux_ref[...][0]                              # [tr, DPAD]
+    g_bg = gaux[:, 0]
+    g_depth = gaux[:, 1]
+
+    rgb3 = rgb.reshape(tr, NS, FEAT)
+    d_rgb = (w[:, :, None] * g_feat[:, None, :]).reshape(tr * NS, FEAT)
+    d_w = (
+        jnp.sum(rgb3 * g_feat[:, None, :], axis=-1)
+        + zv * g_depth[:, None]
+        - g_bg[:, None]
+    )                                                    # [tr, NS]
+    c = d_w * w
+    # exclusive suffix sum over samples: S_s = sum_{u>s} c_u
+    S = jax.lax.dot_general(
+        c, ltri[...], (((1,), (0,)), ((), ())), preferred_element_type=f32
+    )
+    d_alpha = d_w * T - S / t
+    one_m_a = 1.0 - alpha
+    d_sigma = d_alpha * zd * one_m_a
+    dzd_ref[...] = (d_alpha * sig * one_m_a)[None]
+    dzv_ref[...] = (w * g_depth[:, None])[None]
+    d_sigma_pre = (d_sigma.reshape(tr * NS) * (sigma_pre > 0)).astype(f32)
+
+    # ---- MLP backward ----
+    d_sig_pad = jnp.concatenate(
+        [d_sigma_pre[:, None], jnp.zeros((tr * NS, DPAD - 1), f32)], axis=1
+    ).astype(dtype)
+    d_r1 = mmT_r(d_rgb.astype(dtype), wr2[...])          # [N, H2]
+    d_r1 = (d_r1 * (r1 > 0)).astype(dtype)
+    d_r0 = mmT_r(d_r1, wr1[...]).astype(dtype)           # [N, H]
+    g = mmT_r(d_sig_pad, wd[...]) + mmT_r(d_r0, wr0[...])
+    g7 = (g * (xs[7] > 0)).astype(dtype)
+    g6 = (mmT_r(g7, wh[...][5]) * (xs[6] > 0)).astype(dtype)
+    g5 = (mmT_r(g6, wh[...][4]) * (xs[5] > 0)).astype(dtype)
+    g4 = (mmT_r(g5, w5x[...]) * (xs[4] > 0)).astype(dtype)
+    g3 = (mmT_r(g4, wh[...][3]) * (xs[3] > 0)).astype(dtype)
+    g2 = (mmT_r(g3, wh[...][2]) * (xs[2] > 0)).astype(dtype)
+    g1 = (mmT_r(g2, wh[...][1]) * (xs[1] > 0)).astype(dtype)
+    g0 = (mmT_r(g1, wh[...][0]) * (xs[0] > 0)).astype(dtype)
+
+    d_pe = mmT_r(g0, w0p[...]) + mmT_r(g5, w5p[...])
+    dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
+
+    # ---- weight/bias gradient accumulation ----
+    first = (b_idx == 0) & (t_idx == 0)
+    first_t = t_idx == 0
+
+    @pl.when(first)
+    def _():
+        dw0p[...] = jnp.zeros_like(dw0p)
+        dwh[...] = jnp.zeros_like(dwh)
+        dw5p[...] = jnp.zeros_like(dw5p)
+        dw5x[...] = jnp.zeros_like(dw5x)
+        dwd[...] = jnp.zeros_like(dwd)
+        dwr0[...] = jnp.zeros_like(dwr0)
+        dwr1[...] = jnp.zeros_like(dwr1)
+        dwr2[...] = jnp.zeros_like(dwr2)
+        dbh[...] = jnp.zeros_like(dbh)
+        dbd[...] = jnp.zeros_like(dbd)
+        dbr0[...] = jnp.zeros_like(dbr0)
+        dbr2[...] = jnp.zeros_like(dbr2)
+
+    @pl.when(first_t)
+    def _():
+        db0[...] = jnp.zeros_like(db0)
+        db5[...] = jnp.zeros_like(db5)
+        dbr1[...] = jnp.zeros_like(dbr1)
+
+    dw0p[...] += mmT_l(pe, g0)
+    dw5p[...] += mmT_l(pe, g5)
+    dw5x[...] += mmT_l(xs[4], g5)
+    dwd[...] += mmT_l(xs[7], d_sig_pad)
+    dwr0[...] += mmT_l(xs[7], d_r0)
+    dwr1[...] += mmT_l(r0, d_r1)
+    dwr2[...] += mmT_l(r1, d_rgb.astype(dtype))
+    gs = [g1, g2, g3, g4, g6, g7]
+    xin = [xs[0], xs[1], xs[2], xs[3], xs[5], xs[6]]
+    new_dwh = dwh[...]
+    for i in range(6):
+        new_dwh = new_dwh.at[i].add(mmT_l(xin[i], gs[i]))
+    dwh[...] = new_dwh
+    new_dbh = dbh[...]
+    for i in range(6):
+        new_dbh = new_dbh.at[i].add(jnp.sum(gs[i].astype(f32), axis=0))
+    dbh[...] = new_dbh
+    db0[...] += jnp.sum(g0.astype(f32), axis=0)[None]
+    db5[...] += jnp.sum(g5.astype(f32), axis=0)[None]
+    dbd[...] += jnp.sum(d_sigma_pre)[None, None]
+    dbr0[...] += jnp.sum(d_r0.astype(f32), axis=0)[None]
+    dbr1[...] += jnp.sum(d_r1.astype(f32), axis=0)[None]
+    dbr2[...] += jnp.sum(d_rgb, axis=0)[None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_rays", "compute_dtype", "interpret")
+)
+def fused_render_bwd(
+    pe, z_dists, zvals, weights, g_feat, g_bg, g_depth,
+    tile_rays: int = 16, compute_dtype=jnp.bfloat16, interpret: bool = False,
+):
+    """Pallas backward: returns (d_pe, d_zd, d_zv, d_weights)."""
+    B, R = pe.shape[0], pe.shape[1]
+    assert R % tile_rays == 0
+    n_tiles = R // tile_rays
+    cdt = compute_dtype
+    f32 = jnp.float32
+
+    ltri = jnp.asarray(_strict_lower_tri())
+    gaux = jnp.concatenate(
+        [g_bg[..., None], g_depth[..., None],
+         jnp.zeros(g_bg.shape + (DPAD - 2,), f32)], axis=-1,
+    )
+
+    def ray_block(shape):
+        return pl.BlockSpec(
+            (1, tile_rays) + shape,
+            lambda b, t: (b, t) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def const_block(arr):
+        return pl.BlockSpec(
+            arr.shape, lambda b, t: (0,) * arr.ndim, memory_space=pltpu.VMEM
+        )
+
+    def bbatch_block(arr):
+        return pl.BlockSpec(
+            (1, arr.shape[1]), lambda b, t: (b, 0), memory_space=pltpu.VMEM
+        )
+
+    w = {k: v.astype(cdt) for k, v in weights.items() if k.startswith("w")}
+    b = {k: v.astype(f32) for k, v in weights.items() if k.startswith("b")}
+    bd = b["bd"].reshape(1, 1)
+
+    args = (
+        pe, z_dists, zvals, g_feat, gaux,
+        w["w0p"], w["wh"], w["w5p"], w["w5x"], w["wd"],
+        w["wr0"], w["wr1"], w["wr2"],
+        b["b0"], b["bh"], b["b5"], bd, b["br0"], b["br1"], b["br2"], ltri,
+    )
+    in_specs = (
+        [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
+         ray_block((FEAT,)), ray_block((DPAD,))]
+        + [const_block(a) for a in args[5:13]]
+        + [bbatch_block(b["b0"]), const_block(b["bh"]), bbatch_block(b["b5"]),
+           const_block(bd), const_block(b["br0"]), bbatch_block(b["br1"]),
+           const_block(b["br2"]), const_block(ltri)]
+    )
+
+    def acc_block(shape):
+        return pl.BlockSpec(
+            shape, lambda bq, t: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def bacc_block(shape):
+        return pl.BlockSpec(
+            (1,) + shape[1:], lambda bq, t: (bq,) + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((B, R, NS, PE_PAD), f32),   # d_pe
+        jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zd
+        jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zv
+        jax.ShapeDtypeStruct((PE_PAD, H), f32),
+        jax.ShapeDtypeStruct((6, H, H), f32),
+        jax.ShapeDtypeStruct((PE_PAD, H), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((H, DPAD), f32),
+        jax.ShapeDtypeStruct((H, H), f32),
+        jax.ShapeDtypeStruct((H, H2), f32),
+        jax.ShapeDtypeStruct((H2, FEAT), f32),
+        jax.ShapeDtypeStruct((B, H), f32),               # db0
+        jax.ShapeDtypeStruct((6, H), f32),
+        jax.ShapeDtypeStruct((B, H), f32),               # db5
+        jax.ShapeDtypeStruct((1, 1), f32),
+        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((B, H2), f32),              # dbr1
+        jax.ShapeDtypeStruct((1, FEAT), f32),
+    ]
+    out_specs = [
+        ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
+        acc_block((PE_PAD, H)), acc_block((6, H, H)), acc_block((PE_PAD, H)),
+        acc_block((H, H)), acc_block((H, DPAD)), acc_block((H, H)),
+        acc_block((H, H2)), acc_block((H2, FEAT)),
+        bacc_block((B, H)), acc_block((6, H)), bacc_block((B, H)),
+        acc_block((1, 1)), acc_block((1, H)), bacc_block((B, H2)),
+        acc_block((1, FEAT)),
+    ]
+
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, tr=tile_rays, dtype=cdt),
+        grid=(B, n_tiles),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+    )(*args)
+
+    (d_pe, d_zd, d_zv, dw0p, dwh, dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
+     db0, dbh, db5, dbd, dbr0, dbr1, dbr2) = outs
+    d_weights = {
+        "w0p": dw0p, "wh": dwh, "w5p": dw5p, "w5x": dw5x, "wd": dwd,
+        "wr0": dwr0, "wr1": dwr1, "wr2": dwr2,
+        "b0": db0, "bh": dbh, "b5": db5, "bd": dbd.reshape(()),
+        "br0": dbr0[0], "br1": dbr1, "br2": dbr2[0],
+    }
+    return d_pe, d_zd, d_zv, d_weights
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_render(pe, z_dists, zvals, weights,
                  tile_rays=256, compute_dtype=jnp.bfloat16, interpret=False):
@@ -297,6 +587,18 @@ def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret):
 
 
 def _fused_render_b(tile_rays, compute_dtype, interpret, res, g):
+    pe, zd, zv, weights = res
+    g_feat, g_bg, g_depth = g
+    bwd_tile = min(tile_rays, 16)   # smaller tiles: all activations + the
+    # f32 weight-grad accumulators must fit VMEM simultaneously
+    return fused_render_bwd(
+        pe, zd, zv, weights, g_feat, g_bg, g_depth,
+        tile_rays=bwd_tile, compute_dtype=compute_dtype, interpret=interpret,
+    )
+
+
+def _fused_render_b_remat(tile_rays, compute_dtype, interpret, res, g):
+    """Fallback backward: jax.vjp over the jnp oracle (rematerialized)."""
     pe, zd, zv, weights = res
     _, vjp = jax.vjp(
         lambda p, d, z, w: reference_render(p, d, z, w, compute_dtype=compute_dtype),
