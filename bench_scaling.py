@@ -1,0 +1,79 @@
+"""Scaling-efficiency benchmark: rays/s at 1 device vs N devices.
+
+The BASELINE.md measurement points (1 chip / 1 host / N>=2 hosts) in one
+harness: builds a (data x rays) mesh over all visible devices, measures the
+sharded fwd+bwd train step with the chained-timing method, and prints one
+JSON line with throughput and scaling efficiency vs the single-device run.
+
+On real multi-chip hardware run as-is; on a dev box use
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+(the CPU numbers validate the harness, not the hardware).
+Multi-host: call with jax.distributed.initialize() done by the launcher.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+
+def measure(mesh, cfg, tc, B, iters=8):
+    import jax
+    import jax.numpy as jnp
+
+    from nerf3dtalker_tpu.data.dataset import synthetic_dataset
+    from nerf3dtalker_tpu.parallel.mesh import shard_batch
+    from nerf3dtalker_tpu.train.step import build_step_fns
+    from nerf3dtalker_tpu.utils.timing import chained_time
+
+    fns = build_step_fns(cfg, tc, mesh=mesh)
+    ds = synthetic_dataset(cfg, num_frames=max(B, 2))
+    batch = ds.batch(np.arange(B))
+    state = fns.init(jax.random.key(0), batch)
+    sbatch = shard_batch(batch, mesh) if mesh is not None else {
+        k: jnp.asarray(v) for k, v in batch.items()
+    }
+
+    def step(st):
+        new_state, _ = fns.train_step(st, sbatch, jax.random.key(1))
+        return new_state
+
+    def perturb(st, out):
+        return out  # the train step already chains state -> state
+
+    dt = chained_time(lambda st: step(st), lambda c, out: out, state, iters=iters)
+    return B * cfg.n_rays / dt
+
+
+def main():
+    import jax
+
+    from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+    from nerf3dtalker_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    cfg = NeRFConfig(featmap_size=32, featmap_nc=256, pred_img_size=256)
+    tc = TrainConfig(bf16_compute=True, use_vgg_loss=False)
+
+    r1 = measure(make_mesh(data=1, rays=1), cfg, tc, B=1)
+    if n > 1:
+        data = 2 if n % 2 == 0 else 1
+        rays = n // data
+        rn = measure(make_mesh(data=data, rays=rays), cfg, tc, B=data)
+        eff = rn / (r1 * n)
+    else:
+        rn, eff = r1, 1.0
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "devices": n,
+        "rays_per_s_1dev": round(r1, 1),
+        "rays_per_s_ndev": round(rn, 1),
+        "value": round(eff, 3),
+        "unit": "fraction",
+        "vs_baseline": round(eff / 0.85, 3),   # target >= 85%
+    }))
+
+
+if __name__ == "__main__":
+    main()

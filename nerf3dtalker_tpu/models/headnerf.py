@@ -112,10 +112,16 @@ class HeadNeRF(nn.Module):
         Tvec: jnp.ndarray,            # [B, 3] or [B, 3, 1]
         inv_inmat: jnp.ndarray,       # [B, 3, 3]
         rng: Optional[jax.Array] = None,   # stratified jitter when training
+        gaze: Optional[jnp.ndarray] = None,   # [B, eye_gaze_dim] when
+        # include_gaze (HeadNeRFNet.py:51-52: gaze widens the vp channels —
+        # appended to the shape code here)
     ) -> Dict[str, jnp.ndarray]:
         cfg = self.cfg
         B = batch_xy.shape[0]
         S = cfg.featmap_size
+        if cfg.include_gaze:
+            g = gaze if gaze is not None else jnp.zeros((B, cfg.eye_gaze_dim))
+            shape_code = jnp.concatenate([shape_code, g], axis=-1)
 
         rays = gen_rays(batch_xy, Rmat, Tvec, inv_inmat)
         zb = stratified_zvals(

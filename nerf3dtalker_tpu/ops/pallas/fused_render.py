@@ -309,8 +309,9 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
                 w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
                 b0, bh, b5, bd, br0, br1, br2, ltri,
                 dpe_ref, dzd_ref, dzv_ref,
-                dw0p, dwh, dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
-                db0, dbh, db5, dbd, dbr0, dbr1, dbr2,
+                dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
+                dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
+                db0, dbh_ref, db5, dbd, dbr0, dbr1, dbr2,
                 *, tr, dtype):
     """Recompute forward, backprop in VMEM, accumulate weight grads across
     grid steps (constant-index outputs persist; init on the first step)."""
@@ -395,20 +396,13 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     first = (b_idx == 0) & (t_idx == 0)
     first_t = t_idx == 0
 
+    dwh_refs = (dwh0, dwh1, dwh2, dwh3, dwh4, dwh5)
+
     @pl.when(first)
     def _():
-        dw0p[...] = jnp.zeros_like(dw0p)
-        dwh[...] = jnp.zeros_like(dwh)
-        dw5p[...] = jnp.zeros_like(dw5p)
-        dw5x[...] = jnp.zeros_like(dw5x)
-        dwd[...] = jnp.zeros_like(dwd)
-        dwr0[...] = jnp.zeros_like(dwr0)
-        dwr1[...] = jnp.zeros_like(dwr1)
-        dwr2[...] = jnp.zeros_like(dwr2)
-        dbh[...] = jnp.zeros_like(dbh)
-        dbd[...] = jnp.zeros_like(dbd)
-        dbr0[...] = jnp.zeros_like(dbr0)
-        dbr2[...] = jnp.zeros_like(dbr2)
+        for ref in (dw0p, dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
+                    dbh_ref, dbd, dbr0, dbr2) + dwh_refs:
+            ref[...] = jnp.zeros_like(ref)
 
     @pl.when(first_t)
     def _():
@@ -425,14 +419,13 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     dwr2[...] += mmT_l(r1, d_rgb.astype(dtype))
     gs = [g1, g2, g3, g4, g6, g7]
     xin = [xs[0], xs[1], xs[2], xs[3], xs[5], xs[6]]
-    new_dwh = dwh[...]
+    # rank-2 accumulators per layer — Mosaic rejects rank-3 RMW/scatter
     for i in range(6):
-        new_dwh = new_dwh.at[i].add(mmT_l(xin[i], gs[i]))
-    dwh[...] = new_dwh
-    new_dbh = dbh[...]
-    for i in range(6):
-        new_dbh = new_dbh.at[i].add(jnp.sum(gs[i].astype(f32), axis=0))
-    dbh[...] = new_dbh
+        dwh_refs[i][...] += mmT_l(xin[i], gs[i])
+    old_dbh = dbh_ref[...]
+    dbh_ref[...] = jnp.stack(
+        [old_dbh[i] + jnp.sum(gs[i].astype(f32), axis=0) for i in range(6)]
+    )
     db0[...] += jnp.sum(g0.astype(f32), axis=0)[None]
     db5[...] += jnp.sum(g5.astype(f32), axis=0)[None]
     dbd[...] += jnp.sum(d_sigma_pre)[None, None]
@@ -512,27 +505,28 @@ def fused_render_bwd(
         jax.ShapeDtypeStruct((B, R, NS, PE_PAD), f32),   # d_pe
         jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zd
         jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zv
-        jax.ShapeDtypeStruct((PE_PAD, H), f32),
-        jax.ShapeDtypeStruct((6, H, H), f32),
-        jax.ShapeDtypeStruct((PE_PAD, H), f32),
-        jax.ShapeDtypeStruct((H, H), f32),
-        jax.ShapeDtypeStruct((H, DPAD), f32),
-        jax.ShapeDtypeStruct((H, H), f32),
-        jax.ShapeDtypeStruct((H, H2), f32),
-        jax.ShapeDtypeStruct((H2, FEAT), f32),
+        jax.ShapeDtypeStruct((PE_PAD, H), f32),          # dw0p
+    ] + [jax.ShapeDtypeStruct((H, H), f32)] * 6 + [      # dwh0..5
+        jax.ShapeDtypeStruct((PE_PAD, H), f32),          # dw5p
+        jax.ShapeDtypeStruct((H, H), f32),               # dw5x
+        jax.ShapeDtypeStruct((H, DPAD), f32),            # dwd
+        jax.ShapeDtypeStruct((H, H), f32),               # dwr0
+        jax.ShapeDtypeStruct((H, H2), f32),              # dwr1
+        jax.ShapeDtypeStruct((H2, FEAT), f32),           # dwr2
         jax.ShapeDtypeStruct((B, H), f32),               # db0
-        jax.ShapeDtypeStruct((6, H), f32),
+        jax.ShapeDtypeStruct((6, H), f32),               # dbh
         jax.ShapeDtypeStruct((B, H), f32),               # db5
-        jax.ShapeDtypeStruct((1, 1), f32),
-        jax.ShapeDtypeStruct((1, H), f32),
+        jax.ShapeDtypeStruct((1, 1), f32),               # dbd
+        jax.ShapeDtypeStruct((1, H), f32),               # dbr0
         jax.ShapeDtypeStruct((B, H2), f32),              # dbr1
-        jax.ShapeDtypeStruct((1, FEAT), f32),
+        jax.ShapeDtypeStruct((1, FEAT), f32),            # dbr2
     ]
     out_specs = [
         ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
-        acc_block((PE_PAD, H)), acc_block((6, H, H)), acc_block((PE_PAD, H)),
-        acc_block((H, H)), acc_block((H, DPAD)), acc_block((H, H)),
-        acc_block((H, H2)), acc_block((H2, FEAT)),
+        acc_block((PE_PAD, H)),
+    ] + [acc_block((H, H))] * 6 + [
+        acc_block((PE_PAD, H)), acc_block((H, H)), acc_block((H, DPAD)),
+        acc_block((H, H)), acc_block((H, H2)), acc_block((H2, FEAT)),
         bacc_block((B, H)), acc_block((6, H)), bacc_block((B, H)),
         acc_block((1, 1)), acc_block((1, H)), bacc_block((B, H2)),
         acc_block((1, FEAT)),
@@ -550,8 +544,10 @@ def fused_render_bwd(
         ),
     )(*args)
 
-    (d_pe, d_zd, d_zv, dw0p, dwh, dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
+    (d_pe, d_zd, d_zv, dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
+     dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
      db0, dbh, db5, dbd, dbr0, dbr1, dbr2) = outs
+    dwh = jnp.stack([dwh0, dwh1, dwh2, dwh3, dwh4, dwh5])
     d_weights = {
         "w0p": dw0p, "wh": dwh, "w5p": dw5p, "w5x": dw5x, "wd": dwd,
         "wr0": dwr0, "wr1": dwr1, "wr2": dwr2,
