@@ -64,6 +64,48 @@ def cmd_train(args):
     print(json.dumps(hist[-1]))
 
 
+def cmd_train_vq(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import VQConfig
+    from nerf3dtalker_tpu.train.vq_trainer import build_vq_step
+
+    cfg = VQConfig(
+        img_size=args.img_size,
+        hidden_size=args.hidden, embed_dim=args.embed_dim,
+        n_embed=args.n_embed,
+        num_hidden_layers=args.layers,
+    )
+    init, train_step, eval_step = build_vq_step(cfg, lr=args.lr)
+    if args.data:
+        z = dict(np.load(args.data))
+        batch_keys = ("gen_img", "gt_img", "mask", "crops", "au_labels")
+        data = {k: z[k] for k in batch_keys}
+    else:
+        print("no --data; sanity run on random batches")
+        rng = np.random.default_rng(0)
+        S = args.img_size
+        data = {
+            "gen_img": rng.uniform(0, 1, (4, S, S, 3)).astype(np.float32),
+            "gt_img": rng.uniform(0, 1, (4, S, S, 3)).astype(np.float32),
+            "mask": np.ones((4, S, S, 1), np.float32),
+            "crops": rng.uniform(0, 1, (4, 5, 112, 112, 3)).astype(np.float32),
+            "au_labels": (rng.uniform(0, 1, (4, 5)) > 0.5).astype(np.float32),
+        }
+    N = len(data["gen_img"])
+    bs = min(args.batch_size, N)
+    batch0 = {k: jnp.asarray(v[:bs]) for k, v in data.items()}
+    state = init(jax.random.key(args.seed), batch0)
+    for ep in range(args.epochs):
+        order = np.random.default_rng(ep).permutation(N)
+        for i in range(0, N - bs + 1, bs):
+            b = {k: jnp.asarray(v[order[i : i + bs]]) for k, v in data.items()}
+            state, m = train_step(state, b)
+        print(json.dumps({"epoch": ep, **{k: float(v) for k, v in m.items()}}))
+
+
 def cmd_fit(args):
     print("fit: supply --ckpt, --image, --mask, --pkl (see train/fitting.py)")
 
@@ -127,6 +169,18 @@ def main(argv=None):
     pt.add_argument("--data-parallel", type=int, default=1)
     pt.add_argument("--ray-parallel", type=int, default=1)
     pt.set_defaults(fn=cmd_train)
+
+    pv = sub.add_parser("train-vq")
+    _add_common(pv)
+    pv.add_argument("--data", type=str, default="")
+    pv.add_argument("--batch-size", type=int, default=1)
+    pv.add_argument("--epochs", type=int, default=60)
+    pv.add_argument("--lr", type=float, default=1e-4)
+    pv.add_argument("--hidden", type=int, default=512)
+    pv.add_argument("--embed-dim", type=int, default=64)
+    pv.add_argument("--n-embed", type=int, default=8192)
+    pv.add_argument("--layers", type=int, default=6)
+    pv.set_defaults(fn=cmd_train_vq)
 
     pf = sub.add_parser("fit")
     _add_common(pf)

@@ -311,7 +311,8 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
                 dpe_ref, dzd_ref, dzv_ref,
                 dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
                 dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
-                db0, dbh_ref, db5, dbd, dbr0, dbr1, dbr2,
+                db0, dbh0, dbh1, dbh2, dbh3, dbh4, dbh5,
+                db5, dbd, dbr0, dbr1, dbr2,
                 *, tr, dtype):
     """Recompute forward, backprop in VMEM, accumulate weight grads across
     grid steps (constant-index outputs persist; init on the first step)."""
@@ -397,11 +398,12 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     first_t = t_idx == 0
 
     dwh_refs = (dwh0, dwh1, dwh2, dwh3, dwh4, dwh5)
+    dbh_refs = (dbh0, dbh1, dbh2, dbh3, dbh4, dbh5)
 
     @pl.when(first)
     def _():
         for ref in (dw0p, dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
-                    dbh_ref, dbd, dbr0, dbr2) + dwh_refs:
+                    dbd, dbr0, dbr2) + dwh_refs + dbh_refs:
             ref[...] = jnp.zeros_like(ref)
 
     @pl.when(first_t)
@@ -419,16 +421,16 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     dwr2[...] += mmT_l(r1, d_rgb.astype(dtype))
     gs = [g1, g2, g3, g4, g6, g7]
     xin = [xs[0], xs[1], xs[2], xs[3], xs[5], xs[6]]
-    # rank-2 accumulators per layer — Mosaic rejects rank-3 RMW/scatter
+    # rank-2 single-row accumulators — Mosaic rejects rank-3 / row-offset RMW
     for i in range(6):
         dwh_refs[i][...] += mmT_l(xin[i], gs[i])
-    old_dbh = dbh_ref[...]
-    dbh_ref[...] = jnp.stack(
-        [old_dbh[i] + jnp.sum(gs[i].astype(f32), axis=0) for i in range(6)]
-    )
+        dbh_refs[i][...] += jnp.sum(gs[i].astype(f32), axis=0)[None]
     db0[...] += jnp.sum(g0.astype(f32), axis=0)[None]
     db5[...] += jnp.sum(g5.astype(f32), axis=0)[None]
-    dbd[...] += jnp.sum(d_sigma_pre)[None, None]
+    dbd[...] += jnp.concatenate(
+        [jnp.sum(d_sigma_pre).reshape(1, 1),
+         jnp.zeros((1, DPAD - 1), f32)], axis=1,
+    )
     dbr0[...] += jnp.sum(d_r0.astype(f32), axis=0)[None]
     dbr1[...] += jnp.sum(d_r1.astype(f32), axis=0)[None]
     dbr2[...] += jnp.sum(d_rgb, axis=0)[None]
@@ -514,9 +516,9 @@ def fused_render_bwd(
         jax.ShapeDtypeStruct((H, H2), f32),              # dwr1
         jax.ShapeDtypeStruct((H2, FEAT), f32),           # dwr2
         jax.ShapeDtypeStruct((B, H), f32),               # db0
-        jax.ShapeDtypeStruct((6, H), f32),               # dbh
+    ] + [jax.ShapeDtypeStruct((1, H), f32)] * 6 + [      # dbh0..5
         jax.ShapeDtypeStruct((B, H), f32),               # db5
-        jax.ShapeDtypeStruct((1, 1), f32),               # dbd
+        jax.ShapeDtypeStruct((1, DPAD), f32),            # dbd (col 0)
         jax.ShapeDtypeStruct((1, H), f32),               # dbr0
         jax.ShapeDtypeStruct((B, H2), f32),              # dbr1
         jax.ShapeDtypeStruct((1, FEAT), f32),            # dbr2
@@ -527,8 +529,10 @@ def fused_render_bwd(
     ] + [acc_block((H, H))] * 6 + [
         acc_block((PE_PAD, H)), acc_block((H, H)), acc_block((H, DPAD)),
         acc_block((H, H)), acc_block((H, H2)), acc_block((H2, FEAT)),
-        bacc_block((B, H)), acc_block((6, H)), bacc_block((B, H)),
-        acc_block((1, 1)), acc_block((1, H)), bacc_block((B, H2)),
+        bacc_block((B, H)),
+    ] + [acc_block((1, H))] * 6 + [
+        bacc_block((B, H)),
+        acc_block((1, DPAD)), acc_block((1, H)), bacc_block((B, H2)),
         acc_block((1, FEAT)),
     ]
 
@@ -546,12 +550,14 @@ def fused_render_bwd(
 
     (d_pe, d_zd, d_zv, dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
      dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
-     db0, dbh, db5, dbd, dbr0, dbr1, dbr2) = outs
+     db0, dbh0, dbh1, dbh2, dbh3, dbh4, dbh5,
+     db5, dbd, dbr0, dbr1, dbr2) = outs
     dwh = jnp.stack([dwh0, dwh1, dwh2, dwh3, dwh4, dwh5])
+    dbh = jnp.concatenate([dbh0, dbh1, dbh2, dbh3, dbh4, dbh5], axis=0)
     d_weights = {
         "w0p": dw0p, "wh": dwh, "w5p": dw5p, "w5x": dw5x, "wd": dwd,
         "wr0": dwr0, "wr1": dwr1, "wr2": dwr2,
-        "b0": db0, "bh": dbh, "b5": db5, "bd": dbd.reshape(()),
+        "b0": db0, "bh": dbh, "b5": db5, "bd": dbd[0, 0].reshape(()),
         "br0": dbr0[0], "br1": dbr1, "br2": dbr2[0],
     }
     return d_pe, d_zd, d_zv, d_weights

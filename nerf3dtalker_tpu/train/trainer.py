@@ -115,25 +115,38 @@ class Trainer:
         avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
         return avg
 
-    def validate(self) -> Dict[str, float]:
+    def validate(self, dump_dir: Optional[str] = None, epoch: int = 0) -> Dict[str, float]:
         if self.val_data is None:
             return {}
         ssims, psnrs = [], []
-        for batch in self.val_data.epoch(1, rng=None, drop_last=False):
+        for i, batch in enumerate(self.val_data.epoch(1, rng=None, drop_last=False)):
             img, _ = self.fns.eval_step(self.state.params, batch)
             pred = np.asarray(img[0])
             gt = batch["gt_rgb"][0]
             ssims.append(float(ssim_rgb(pred, gt)))
             psnrs.append(float(psnr(pred, gt)))
+            if dump_dir:
+                # side-by-side GT|render dumps per val iter
+                # (talker_trainer.py:1203-1216 temp_image behaviour)
+                from nerf3dtalker_tpu.models.misc import draw_side_by_side
+
+                d = os.path.join(dump_dir, f"epoch{epoch}")
+                os.makedirs(d, exist_ok=True)
+                np.save(os.path.join(d, f"val_{i:04d}.npy"),
+                        draw_side_by_side(gt, pred))
         return {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs))}
 
     def train(self, epochs: Optional[int] = None) -> list:
         if self.state is None:
             self.init()
         epochs = epochs or self.train_cfg.epochs
+        dump_dir = (
+            os.path.join(self.train_cfg.log_dir, "temp_image")
+            if self.train_cfg.log_dir else None
+        )
         for epoch in range(epochs):
             train_metrics = self.train_one_epoch(epoch)
-            val_metrics = self.validate()
+            val_metrics = self.validate(dump_dir=dump_dir, epoch=epoch)
             rec = {"epoch": epoch, **train_metrics, **val_metrics}
             self.history.append(rec)
             log.info("epoch %d: %s", epoch, rec)
