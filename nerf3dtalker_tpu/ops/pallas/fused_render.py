@@ -327,9 +327,13 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
         )
 
     def mmT_l(a, b):
-        """a.T @ b : contract first dims."""
+        """a.T @ b : contract first dims. f32 operands — Mosaic on this
+        toolchain cannot relayout *computed* bf16 values into the
+        transposed-contraction layout ('Not implemented: Offset change');
+        f32 computed operands lower fine."""
         return jax.lax.dot_general(
-            a, b, (((0,), (0,)), ((), ())), preferred_element_type=f32
+            a.astype(f32), b.astype(f32), (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
         )
 
     pe_in = pe_ref[...].reshape(tr * NS, PE_PAD)
