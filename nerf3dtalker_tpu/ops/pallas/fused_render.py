@@ -378,23 +378,33 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     d_sigma_pre = (d_sigma.reshape(tr * NS) * (sigma_pre > 0)).astype(f32)
 
     # ---- MLP backward ----
+    # Masks stay in f32: Mosaic on this toolchain cannot feed
+    # comparison-masked *bf16* values into MXU contractions ("Not
+    # implemented: Offset change"); f32-domain masks followed by a cast at
+    # the matmul input lower fine (see memory: axon-tpu-environment).
+    def relu_mask(g_f32, act):
+        return g_f32 * (act.astype(f32) > 0).astype(f32)
+
     d_sig_pad = jnp.concatenate(
         [d_sigma_pre[:, None], jnp.zeros((tr * NS, DPAD - 1), f32)], axis=1
-    ).astype(dtype)
-    d_r1 = mmT_r(d_rgb.astype(dtype), wr2[...])          # [N, H2]
-    d_r1 = (d_r1 * (r1 > 0)).astype(dtype)
-    d_r0 = mmT_r(d_r1, wr1[...]).astype(dtype)           # [N, H]
-    g = mmT_r(d_sig_pad, wd[...]) + mmT_r(d_r0, wr0[...])
-    g7 = (g * (xs[7] > 0)).astype(dtype)
-    g6 = (mmT_r(g7, wh[...][5]) * (xs[6] > 0)).astype(dtype)
-    g5 = (mmT_r(g6, wh[...][4]) * (xs[5] > 0)).astype(dtype)
-    g4 = (mmT_r(g5, w5x[...]) * (xs[4] > 0)).astype(dtype)
-    g3 = (mmT_r(g4, wh[...][3]) * (xs[3] > 0)).astype(dtype)
-    g2 = (mmT_r(g3, wh[...][2]) * (xs[2] > 0)).astype(dtype)
-    g1 = (mmT_r(g2, wh[...][1]) * (xs[1] > 0)).astype(dtype)
-    g0 = (mmT_r(g1, wh[...][0]) * (xs[0] > 0)).astype(dtype)
+    )
+    d_r1 = mmT_r(d_rgb.astype(dtype), wr2[...])          # [N, H2] f32
+    d_r1 = relu_mask(d_r1, r1)
+    d_r0 = mmT_r(d_r1.astype(dtype), wr1[...])           # [N, H] f32
+    g = (
+        mmT_r(d_sig_pad.astype(dtype), wd[...])
+        + mmT_r(d_r0.astype(dtype), wr0[...])
+    )
+    g7 = relu_mask(g, xs[7])
+    g6 = relu_mask(mmT_r(g7.astype(dtype), wh[...][5]), xs[6])
+    g5 = relu_mask(mmT_r(g6.astype(dtype), wh[...][4]), xs[5])
+    g4 = relu_mask(mmT_r(g5.astype(dtype), w5x[...]), xs[4])
+    g3 = relu_mask(mmT_r(g4.astype(dtype), wh[...][3]), xs[3])
+    g2 = relu_mask(mmT_r(g3.astype(dtype), wh[...][2]), xs[2])
+    g1 = relu_mask(mmT_r(g2.astype(dtype), wh[...][1]), xs[1])
+    g0 = relu_mask(mmT_r(g1.astype(dtype), wh[...][0]), xs[0])
 
-    d_pe = mmT_r(g0, w0p[...]) + mmT_r(g5, w5p[...])
+    d_pe = mmT_r(g0.astype(dtype), w0p[...]) + mmT_r(g5.astype(dtype), w5p[...])
     dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
 
     # ---- weight/bias gradient accumulation ----
