@@ -307,6 +307,7 @@ def _mlp_tile_fwd_stash(pe, w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
 
 def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
                 w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
+                w0pT, whT, w5pT, w5xT, wdT, wr0T, wr1T, wr2T,
                 b0, bh, b5, bd, br0, br1, br2, ltri,
                 dpe_ref, dzd_ref, dzv_ref,
                 dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
@@ -320,10 +321,12 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     b_idx = pl.program_id(0)
     t_idx = pl.program_id(1)
 
-    def mmT_r(a, b):
-        """a @ b.T : contract last dims."""
+    def mm(a, b):
+        """standard a @ b (b pre-transposed outside the kernel — Mosaic on
+        this toolchain cannot relayout operands for transposed
+        contractions, 'Not implemented: Offset change')."""
         return jax.lax.dot_general(
-            a, b, (((1,), (1,)), ((), ())), preferred_element_type=f32
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=f32
         )
 
     def mmT_l(a, b):
@@ -388,23 +391,23 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     d_sig_pad = jnp.concatenate(
         [d_sigma_pre[:, None], jnp.zeros((tr * NS, DPAD - 1), f32)], axis=1
     )
-    d_r1 = mmT_r(d_rgb.astype(dtype), wr2[...])          # [N, H2] f32
+    d_r1 = mm(d_rgb.astype(dtype), wr2T[...])            # [N, H2] f32
     d_r1 = relu_mask(d_r1, r1)
-    d_r0 = mmT_r(d_r1.astype(dtype), wr1[...])           # [N, H] f32
+    d_r0 = mm(d_r1.astype(dtype), wr1T[...])             # [N, H] f32
     g = (
-        mmT_r(d_sig_pad.astype(dtype), wd[...])
-        + mmT_r(d_r0.astype(dtype), wr0[...])
+        mm(d_sig_pad.astype(dtype), wdT[...])
+        + mm(d_r0.astype(dtype), wr0T[...])
     )
     g7 = relu_mask(g, xs[7])
-    g6 = relu_mask(mmT_r(g7.astype(dtype), wh[...][5]), xs[6])
-    g5 = relu_mask(mmT_r(g6.astype(dtype), wh[...][4]), xs[5])
-    g4 = relu_mask(mmT_r(g5.astype(dtype), w5x[...]), xs[4])
-    g3 = relu_mask(mmT_r(g4.astype(dtype), wh[...][3]), xs[3])
-    g2 = relu_mask(mmT_r(g3.astype(dtype), wh[...][2]), xs[2])
-    g1 = relu_mask(mmT_r(g2.astype(dtype), wh[...][1]), xs[1])
-    g0 = relu_mask(mmT_r(g1.astype(dtype), wh[...][0]), xs[0])
+    g6 = relu_mask(mm(g7.astype(dtype), whT[...][5]), xs[6])
+    g5 = relu_mask(mm(g6.astype(dtype), whT[...][4]), xs[5])
+    g4 = relu_mask(mm(g5.astype(dtype), w5xT[...]), xs[4])
+    g3 = relu_mask(mm(g4.astype(dtype), whT[...][3]), xs[3])
+    g2 = relu_mask(mm(g3.astype(dtype), whT[...][2]), xs[2])
+    g1 = relu_mask(mm(g2.astype(dtype), whT[...][1]), xs[1])
+    g0 = relu_mask(mm(g1.astype(dtype), whT[...][0]), xs[0])
 
-    d_pe = mmT_r(g0.astype(dtype), w0p[...]) + mmT_r(g5.astype(dtype), w5p[...])
+    d_pe = mm(g0.astype(dtype), w0pT[...]) + mm(g5.astype(dtype), w5pT[...])
     dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
 
     # ---- weight/bias gradient accumulation ----
@@ -491,16 +494,24 @@ def fused_render_bwd(
     b = {k: v.astype(f32) for k, v in weights.items() if k.startswith("b")}
     bd = b["bd"].reshape(1, 1)
 
+    # pre-transposed copies for the in-kernel dx chain (XLA-side transpose)
+    wT = {
+        "w0pT": w["w0p"].T, "whT": jnp.transpose(w["wh"], (0, 2, 1)),
+        "w5pT": w["w5p"].T, "w5xT": w["w5x"].T, "wdT": w["wd"].T,
+        "wr0T": w["wr0"].T, "wr1T": w["wr1"].T, "wr2T": w["wr2"].T,
+    }
     args = (
         pe, z_dists, zvals, g_feat, gaux,
         w["w0p"], w["wh"], w["w5p"], w["w5x"], w["wd"],
         w["wr0"], w["wr1"], w["wr2"],
+        wT["w0pT"], wT["whT"], wT["w5pT"], wT["w5xT"], wT["wdT"],
+        wT["wr0T"], wT["wr1T"], wT["wr2T"],
         b["b0"], b["bh"], b["b5"], bd, b["br0"], b["br1"], b["br2"], ltri,
     )
     in_specs = (
         [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
          ray_block((FEAT,)), ray_block((DPAD,))]
-        + [const_block(a) for a in args[5:13]]
+        + [const_block(a) for a in args[5:21]]
         + [bbatch_block(b["b0"]), const_block(b["bh"]), bbatch_block(b["b5"]),
            const_block(bd), const_block(b["br0"]), bbatch_block(b["br1"]),
            const_block(b["br2"]), const_block(ltri)]

@@ -1,0 +1,142 @@
+"""Reference (PyTorch) checkpoint converters.
+
+Maps the reference's `torch.save` state_dicts onto this framework's param
+pytrees so published checkpoints drop in:
+
+  * HeadNeRF: `net` keys `fg_CD_predictor.FeaExt_module_{i}.{weight,bias}`
+    (Conv2d 1x1 [out,in,1,1] -> dense [in,out]), `density_module`,
+    `RGB_layer_{0,1,2}` (NetWorks/models.py:32-59), and the neural
+    renderer `neural_render.feat_upsample_list.{i}.layer_{1,2}`,
+    `feat_2_rgb_list.{i}`, `feat_layers.{i}`, `bg_featmap`
+    (neural_renderer.py:49-69; NCHW featmap -> NHWC).
+  * Audio2Style: `audio2style` keys `rnn.rnn.{weight,bias}_{ih,hh}_l{k}`
+    (torch LSTM gate order i,f,g,o -> flax OptimizedLSTMCell i,f,g,o) and
+    `linear{1..3}.0.{weight,bias}` (talker_trainer.py:408-473).
+
+Checkpoints are self-describing via the embedded `para` dict
+(talker_trainer.py:915-918) — `convert_headnerf_checkpoint` reads it to
+pick the NeRFConfig.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def _dense(sd, key):
+    """torch Conv2d-1x1/Linear -> flax dense kernel [in, out] + bias."""
+    w = np.asarray(sd[f"{key}.weight"])
+    if w.ndim == 4:      # conv1x1 [out, in, 1, 1]
+        w = w[:, :, 0, 0]
+    return {"kernel": w.T.astype(np.float32),
+            "bias": np.asarray(sd[f"{key}.bias"]).astype(np.float32)}
+
+
+def convert_nerf_mlp(sd: Dict, prefix: str = "fg_CD_predictor") -> Dict:
+    """state_dict -> NeRFMLP params subtree (models/nerf_mlp.py layout)."""
+    out = {}
+    for i in range(8):
+        d = _dense(sd, f"{prefix}.FeaExt_module_{i}")
+        out[f"fea_{i}_kernel"] = d["kernel"]
+        out[f"fea_{i}_bias"] = d["bias"]
+    d = _dense(sd, f"{prefix}.density_module")
+    out["density_kernel"], out["density_bias"] = d["kernel"], d["bias"]
+    for i in range(3):
+        d = _dense(sd, f"{prefix}.RGB_layer_{i}")
+        out[f"rgb_{i}_kernel"], out[f"rgb_{i}_bias"] = d["kernel"], d["bias"]
+    return out
+
+
+def convert_neural_renderer(sd: Dict, n_blocks: int,
+                            prefix: str = "neural_render") -> Dict:
+    """state_dict -> NeuralRenderer params (models/neural_renderer.py)."""
+    out = {}
+    for i in range(n_blocks):
+        up = {}
+        for li in (1, 2):
+            d = _dense(sd, f"{prefix}.feat_upsample_list.{i}.layer_{li}")
+            up[f"layer_{li}"] = d
+        out[f"feat_upsample_{i}"] = up
+        out[f"feat_layer_{i}"] = _dense(sd, f"{prefix}.feat_layers.{i}")
+    for i in range(n_blocks + 1):
+        out[f"feat_2_rgb_{i}"] = _dense(sd, f"{prefix}.feat_2_rgb_list.{i}")
+    bg = np.asarray(sd[f"{prefix}.bg_featmap"])            # [1, C, H, W]
+    out["bg_featmap"] = bg.transpose(0, 2, 3, 1).astype(np.float32)
+    return out
+
+
+def convert_headnerf(sd: Dict, n_blocks: int = 3) -> Dict:
+    """Full `net` state_dict -> HeadNeRF params['params'] tree."""
+    return {
+        "fg_CD_predictor": convert_nerf_mlp(sd),
+        "neural_render": convert_neural_renderer(sd, n_blocks),
+    }
+
+
+def _lstm_cell(sd, prefix: str, layer: int, reverse: bool) -> Dict:
+    """torch LSTM layer weights -> flax OptimizedLSTMCell params.
+
+    torch packs gates [i, f, g, o] x hidden rows in weight_ih_l{k} /
+    weight_hh_l{k} ([4H, in]); flax OptimizedLSTMCell uses dense kernels
+    per gate {i,f,g,o} for input (ii,if,ig,io) and hidden (hi,hf,hg,ho).
+    """
+    suf = f"_l{layer}" + ("_reverse" if reverse else "")
+    w_ih = np.asarray(sd[f"{prefix}.weight_ih{suf}"])
+    w_hh = np.asarray(sd[f"{prefix}.weight_hh{suf}"])
+    b_ih = np.asarray(sd[f"{prefix}.bias_ih{suf}"])
+    b_hh = np.asarray(sd[f"{prefix}.bias_hh{suf}"])
+    Hh = w_hh.shape[1]
+    gates = {}
+    order = ("i", "f", "g", "o")
+    for gi, gname in enumerate(order):
+        sl = slice(gi * Hh, (gi + 1) * Hh)
+        # flax OptimizedLSTMCell: input denses bias-free, hidden denses
+        # carry the (combined) bias
+        gates[f"i{gname}"] = {"kernel": w_ih[sl].T.astype(np.float32)}
+        gates[f"h{gname}"] = {
+            "kernel": w_hh[sl].T.astype(np.float32),
+            "bias": (b_ih[sl] + b_hh[sl]).astype(np.float32),
+        }
+    return gates
+
+
+def convert_audio2style(sd: Dict, prefix: str = "") -> Dict:
+    """`audio2style` state_dict -> Audio2Style params (models/audio.py)."""
+    p = (prefix + ".") if prefix else ""
+    out = {"rnn": {}}
+    for layer in range(2):
+        for rev, name in ((False, "fwd"), (True, "bwd")):
+            out["rnn"][f"l{layer}_{name}"] = _lstm_cell(
+                sd, f"{p}rnn.rnn", layer, rev
+            )
+    for i in (1, 2, 3):
+        out[f"linear{i}"] = _dense(sd, f"{p}linear{i}.0")
+    return out
+
+
+def convert_checkpoint(path: str) -> Tuple[Dict, Dict]:
+    """Load a reference `*_ckpt.pth.tar` -> (headnerf_params, meta).
+
+    The checkpoint layout is `{epoch, net, audio2style, ..., para}`
+    (talker_trainer.py:913-937); `para` holds featmap/img sizes.
+    """
+    from nerf3dtalker_tpu.data.ingest import torch_state_dict_to_numpy
+    import torch
+
+    ck = torch.load(path, map_location="cpu")
+    para = ck.get("para", {})
+    import math
+
+    n_blocks = int(
+        math.log2(para.get("pred_img_size", 256))
+        - math.log2(para.get("featmap_size", 32))
+    )
+    net_sd = {k: np.asarray(v) for k, v in ck["net"].items()}
+    params = {"params": convert_headnerf(net_sd, n_blocks)}
+    audio = None
+    if "audio2style" in ck:
+        a_sd = {k: np.asarray(v) for k, v in ck["audio2style"].items()}
+        audio = {"params": convert_audio2style(a_sd)}
+    return params, {"para": para, "audio2style": audio, "epoch": ck.get("epoch")}
