@@ -438,19 +438,25 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     dwr2[...] += mmT_l(r1, d_rgb.astype(dtype))
     gs = [g1, g2, g3, g4, g6, g7]
     xin = [xs[0], xs[1], xs[2], xs[3], xs[5], xs[6]]
-    # rank-2 single-row accumulators — Mosaic rejects rank-3 / row-offset RMW
+    # rank-2 single-row accumulators; bias sums as ones-row matvecs —
+    # Mosaic rejects sublane-axis (axis 0) reductions here
+    ones_row = jnp.ones((1, tr * NS), f32)
+
+    def colsum(x):
+        return jax.lax.dot_general(
+            ones_row, x.astype(f32), (((1,), (0,)), ((), ())),
+            preferred_element_type=f32,
+        )
+
     for i in range(6):
         dwh_refs[i][...] += mmT_l(xin[i], gs[i])
-        dbh_refs[i][...] += jnp.sum(gs[i].astype(f32), axis=0)[None]
-    db0[...] += jnp.sum(g0.astype(f32), axis=0)[None]
-    db5[...] += jnp.sum(g5.astype(f32), axis=0)[None]
-    dbd[...] += jnp.concatenate(
-        [jnp.sum(d_sigma_pre).reshape(1, 1),
-         jnp.zeros((1, DPAD - 1), f32)], axis=1,
-    )
-    dbr0[...] += jnp.sum(d_r0.astype(f32), axis=0)[None]
-    dbr1[...] += jnp.sum(d_r1.astype(f32), axis=0)[None]
-    dbr2[...] += jnp.sum(d_rgb, axis=0)[None]
+        dbh_refs[i][...] += colsum(gs[i])
+    db0[...] += colsum(g0)
+    db5[...] += colsum(g5)
+    dbd[...] += colsum(d_sig_pad)     # col 0 = sum d_sigma_pre, rest 0
+    dbr0[...] += colsum(d_r0)
+    dbr1[...] += colsum(d_r1)
+    dbr2[...] += colsum(d_rgb)
 
 
 @functools.partial(
