@@ -86,6 +86,7 @@ class HeadNeRF(nn.Module):
             featmap_size=cfg.featmap_size,
             img_size=cfg.pred_img_size,
             bg_type=cfg.bg_type,
+            compute_dtype=self.compute_dtype,
             name="neural_render",
         )
 

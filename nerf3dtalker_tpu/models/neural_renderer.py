@@ -60,6 +60,7 @@ class PixelShuffleUpsample(nn.Module):
     (PixelShuffleUpsample.py:29-45)."""
 
     features: int
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -67,9 +68,9 @@ class PixelShuffleUpsample(nn.Module):
         # torch `x.repeat(1, 4, 1, 1)` tiles whole channel blocks: index
         # k = m*C + c  (m in 0..3) — i.e. NHWC tile along the channel axis.
         y = jnp.tile(x, (1, 1, 1, 4))
-        out = nn.Dense(2 * c, name="layer_1")(x)
+        out = nn.Dense(2 * c, dtype=self.compute_dtype, name="layer_1")(x)
         out = nn.leaky_relu(out, 0.2)
-        out = nn.Dense(4 * c, name="layer_2")(out)
+        out = nn.Dense(4 * c, dtype=self.compute_dtype, name="layer_2")(out)
         out = nn.leaky_relu(out, 0.2)
         out = out + y
         out = pixel_shuffle_2x(out)
@@ -86,6 +87,7 @@ class NeuralRenderer(nn.Module):
     featmap_size: int = 32
     img_size: int = 256
     bg_type: str = "white"
+    compute_dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         import math
@@ -95,15 +97,18 @@ class NeuralRenderer(nn.Module):
         def feat(i):
             return max(self.feat_nc // (2 ** i), self.min_feat)
 
+        cdt = self.compute_dtype
         self.feat_upsamples = [
-            PixelShuffleUpsample(feat(i), name=f"feat_upsample_{i}")
+            PixelShuffleUpsample(feat(i), compute_dtype=cdt,
+                                 name=f"feat_upsample_{i}")
             for i in range(self.n_blocks)
         ]
         self.feat_layers_ = [
-            nn.Dense(feat(i + 1), name=f"feat_layer_{i}") for i in range(self.n_blocks)
+            nn.Dense(feat(i + 1), dtype=cdt, name=f"feat_layer_{i}")
+            for i in range(self.n_blocks)
         ]
         self.feat_2_rgb = [
-            nn.Dense(self.out_dim, name=f"feat_2_rgb_{i}")
+            nn.Dense(self.out_dim, dtype=cdt, name=f"feat_2_rgb_{i}")
             for i in range(self.n_blocks + 1)
         ]
         init = nn.initializers.ones if self.bg_type == "white" else nn.initializers.zeros
@@ -115,7 +120,9 @@ class NeuralRenderer(nn.Module):
         return self.bg_param
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        # rgb skip pyramid (neural_renderer.py:72-91)
+        # rgb skip pyramid (neural_renderer.py:72-91); runs in compute_dtype
+        # (bf16 on TPU) with the final sigmoid in f32
+        x = x.astype(self.compute_dtype)
         rgb = bilinear_2x(self.feat_2_rgb[0](x))
         rgb = blur3(rgb)
         net = x
@@ -125,6 +132,7 @@ class NeuralRenderer(nn.Module):
             rgb = rgb + self.feat_2_rgb[idx + 1](net)
             if idx < self.n_blocks - 1:
                 rgb = blur3(bilinear_2x(rgb))
+        rgb = rgb.astype(jnp.float32)
         if self.final_actvn:
             rgb = nn.sigmoid(rgb)
         return rgb
