@@ -121,13 +121,11 @@ def save_subject(path: str, arrays: Dict[str, np.ndarray]) -> None:
     np.savez_compressed(path, **arrays)
 
 
-def load_subject(path: str):
+def load_subject(path: str, featmap_size: int = 32):
     """-> FrameDataset over a saved subject npz."""
     from nerf3dtalker_tpu.data.dataset import FrameDataset, REQUIRED_KEYS
     from nerf3dtalker_tpu.utils.camera import ray_grid
 
     z = dict(np.load(path))
-    S = int(round(np.sqrt(1.0 / np.abs(z["inv_inmat"][0, 0, 0] / 32.0)))) if False else None
-    # featmap size is recoverable from inv_inmat scaling; default 32
-    xy, _ = ray_grid(32)
+    xy, _ = ray_grid(featmap_size)
     return FrameDataset({k: z[k] for k in REQUIRED_KEYS}, xy)
