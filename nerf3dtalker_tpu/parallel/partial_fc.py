@@ -83,6 +83,94 @@ def sharded_softmax_ce(
     return fn(feats, weight, labels)
 
 
+def _local_sampled_ce(
+    feats: jnp.ndarray,     # [B, D]
+    weight: jnp.ndarray,    # [C_local, D]
+    labels: jnp.ndarray,    # [B]
+    seed: jnp.ndarray,      # [] int32 per-step sampling seed
+    axis: str,
+    n_sample: int,
+    margin_logit_fn=None,
+):
+    """Per-shard CE over a sampled subset of class centers (PFC-0.1).
+
+    The reference samples each shard's negatives independently
+    (partial_fc.py:100-123: positives always kept, negatives drawn to fill
+    `num_sample` slots); here the same policy runs with static shapes: sort
+    class ids by (is-negative, random key) and keep the first `n_sample`.
+    Gradients reach only the sampled rows (gather -> scatter-add under AD),
+    so the optimizer touches the same sparse set the reference updates.
+    """
+    n_local = weight.shape[0]
+    shard = jax.lax.axis_index(axis)
+    lo = shard * n_local
+
+    local_lab = labels - lo
+    in_shard = (local_lab >= 0) & (local_lab < n_local)
+    safe_lab = jnp.where(in_shard, local_lab, 0)
+
+    # positives mask: classes of this shard present in the batch
+    pos = jnp.zeros((n_local,), bool).at[safe_lab].set(in_shard)
+    key = jax.random.fold_in(jax.random.key(seed), shard)
+    rand = jax.random.uniform(key, (n_local,))
+    # sort ascending by (negative?, random) -> positives first, then a
+    # uniform draw of negatives; keep n_sample
+    order = jnp.lexsort((rand, ~pos))
+    idx = order[:n_sample]                                    # [K]
+    sub_w = weight[idx]                                       # [K, D]
+
+    # position of each local class inside the subset (C_local-valued = absent)
+    pos_of = jnp.full((n_local,), n_local, jnp.int32).at[idx].set(
+        jnp.arange(n_sample, dtype=jnp.int32)
+    )
+    tgt_pos = pos_of[safe_lab]
+    in_sub = in_shard & (tgt_pos < n_sample)                  # == in_shard when
+    # positives fit in n_sample (the reference asserts the same capacity)
+    safe_pos = jnp.where(in_sub, tgt_pos, 0)
+
+    logits = feats @ sub_w.T                                  # [B, K]
+    if margin_logit_fn is not None:
+        logits = margin_logit_fn(logits, safe_pos, in_sub)
+
+    gmax = jax.lax.stop_gradient(
+        jax.lax.pmax(jnp.max(jax.lax.stop_gradient(logits), axis=-1), axis)
+    )
+    z = jnp.exp(logits - gmax[:, None])
+    denom = jax.lax.psum(jnp.sum(z, axis=-1), axis)
+    tgt_logit = jnp.take_along_axis(logits, safe_pos[:, None], axis=-1)[:, 0]
+    tgt = jax.lax.psum(jnp.where(in_sub, tgt_logit - gmax, 0.0), axis)
+    return jnp.mean(jnp.log(denom) - tgt)
+
+
+def sharded_sampled_softmax_ce(
+    mesh: Mesh,
+    feats: jnp.ndarray,
+    weight: jnp.ndarray,      # [C, D] sharded over dim 0
+    labels: jnp.ndarray,
+    seed: jnp.ndarray,
+    sample_rate: float = 0.1,
+    axis: str = "model",
+    margin_logit_fn=None,
+) -> jnp.ndarray:
+    """PartialFC with negative-class sampling (partial_fc.py `sample_rate`).
+
+    `seed` is a scalar int32 that must change per step (the reference
+    redraws its negative sample every forward)."""
+    n_devices = mesh.shape[axis]
+    n_local = weight.shape[0] // n_devices
+    n_sample = max(1, int(round(n_local * sample_rate)))
+    fn = shard_map(
+        functools.partial(
+            _local_sampled_ce, axis=axis, n_sample=n_sample,
+            margin_logit_fn=margin_logit_fn,
+        ),
+        mesh=mesh,
+        in_specs=(P(), P(axis, None), P(), P()),
+        out_specs=P(),
+    )
+    return fn(feats, weight, labels, seed)
+
+
 def cosface_margin(s: float = 64.0, m: float = 0.4):
     """CosFace margin head (arcface_torch/losses.py CombinedMarginLoss
     (1.0, 0.0, 0.4) configuration): logits are cosines; subtract m at the

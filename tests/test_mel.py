@@ -65,3 +65,28 @@ def test_blink_ratio():
     assert r.max() <= 1.0 and r.min() >= 0.0
     assert (r > 0).any()  # at least one blink in 4 s
     assert blink_ratio_sequence(10, np.random.default_rng(0)).max() == 0
+
+
+def test_tts_placeholder_to_mel_chunks():
+    """text -> placeholder wav -> per-frame mel chunks, end to end."""
+    import wave
+
+    from nerf3dtalker_tpu.data.mel import per_frame_mel_chunks
+    from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+
+    path = synthesize_placeholder("hello tpu nerf world")
+    with wave.open(path, "rb") as f:
+        assert f.getframerate() == 16000
+        n = f.getnframes()
+        pcm = np.frombuffer(f.readframes(n), np.int16).astype(np.float32) / 32768.0
+    assert n > 16000 * 1.0  # 4 words at 2.5 wps -> ~1.6 s
+
+    chunks = per_frame_mel_chunks(pcm, sr=16000, fps=25)
+    assert chunks.shape[1:] == (80, 16)
+    assert chunks.shape[0] >= 25
+    assert np.isfinite(chunks).all()
+    # determinism: same text -> identical audio
+    path2 = synthesize_placeholder("hello tpu nerf world")
+    with wave.open(path2, "rb") as f:
+        pcm2 = np.frombuffer(f.readframes(f.getnframes()), np.int16)
+    np.testing.assert_array_equal(pcm2, (pcm * 32768.0).astype(np.int16))

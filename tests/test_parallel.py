@@ -128,3 +128,48 @@ def test_margin_heads_run(margin):
         margin_logit_fn=lambda l, ll, ins: l * 64.0,
     )
     assert float(loss) > float(loss_nm)
+
+
+def test_sampled_softmax_full_rate_matches_dense():
+    """sample_rate=1.0 keeps every class -> identical to the dense CE."""
+    from nerf3dtalker_tpu.parallel.partial_fc import sharded_sampled_softmax_ce
+
+    mesh = make_mesh(data=1, rays=1, model=4)
+    rng = np.random.default_rng(3)
+    B, D, C = 8, 16, 32
+    feats = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, B))
+
+    loss = sharded_sampled_softmax_ce(
+        mesh, feats, weight, labels, seed=jnp.int32(7), sample_rate=1.0
+    )
+    want = sharded_softmax_ce(mesh, feats, weight, labels)
+    np.testing.assert_allclose(float(loss), float(want), rtol=1e-5)
+
+
+def test_sampled_softmax_pfc01_positives_kept():
+    """PFC-0.5: positives always in the sample; loss finite; only sampled
+    weight rows receive gradient (partial_fc.py sparse-update semantics)."""
+    from nerf3dtalker_tpu.parallel.partial_fc import sharded_sampled_softmax_ce
+
+    mesh = make_mesh(data=1, rays=1, model=4)
+    rng = np.random.default_rng(4)
+    B, D, C = 8, 16, 64           # 16 classes/shard, 8 sampled/shard
+    feats = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    weight = jnp.asarray(rng.standard_normal((C, D)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, C, B))
+
+    def loss_fn(w):
+        return sharded_sampled_softmax_ce(
+            mesh, feats, w, labels, seed=jnp.int32(11), sample_rate=0.5
+        )
+
+    loss, g = jax.value_and_grad(loss_fn)(weight)
+    assert np.isfinite(float(loss))
+    g = np.asarray(g)
+    touched = np.abs(g).sum(-1) > 0
+    # every batch label's row got gradient (positives always sampled)
+    assert touched[np.asarray(labels)].all()
+    # sampling is sparse: at most 8 rows per 16-class shard
+    assert touched.sum() <= 4 * 8

@@ -91,3 +91,39 @@ def test_fan_forward_and_decode():
     tgt = landmark_heatmap_targets(lm_true, hw=16)
     dec = decode_heatmaps(tgt, crop_size=16)
     np.testing.assert_allclose(np.asarray(dec[0]), np.asarray(lm_true[0]), atol=0.3)
+
+
+def test_arcball_drag_rotation():
+    from nerf3dtalker_tpu.utils.interactive import ArcBall, ViewerCamera
+
+    ab = ArcBall(512, 512)
+    ab.click((256, 256))
+    R = ab.drag((300, 256))
+    # proper rotation
+    np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+    assert np.linalg.det(R) > 0.99
+    # horizontal drag rotates about (roughly) the y axis
+    assert abs(R[0, 2]) > 1e-3
+    # no-op drag = identity
+    ab.click((100, 100))
+    np.testing.assert_allclose(ab.drag((100, 100)), np.eye(3), atol=1e-6)
+
+    cam = ViewerCamera(img_size=256)
+    R0, t0 = cam.w2c()
+    cam.rotate(R)
+    cam.zoom(0.5)
+    R1, t1 = cam.w2c()
+    assert not np.allclose(R0, R1)
+    assert t1[2] == t0[2] * 0.5
+
+
+def test_axis_gizmo_draws_axes():
+    from nerf3dtalker_tpu.utils.interactive import ViewerCamera, draw_axis_gizmo
+
+    cam = ViewerCamera(img_size=64)
+    img = np.zeros((64, 64, 3), np.uint8)
+    out = draw_axis_gizmo(img, *cam.w2c())
+    # three colored axes drawn; origin projects inside the frame
+    assert (out[..., 0] == 255).any() and (out[..., 1] == 255).any() \
+        and (out[..., 2] == 255).any()
+    assert out.shape == img.shape and not (out == 0).all()
