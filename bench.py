@@ -37,7 +37,8 @@ def main():
     from nerf3dtalker_tpu.utils.timing import chained_time
 
     cfg = reso64()
-    model = HeadNeRF(cfg, compute_dtype=jnp.bfloat16)
+    # fused Pallas render kernel (fwd + bwd) — the production TPU path
+    model = HeadNeRF(cfg, compute_dtype=jnp.bfloat16, use_fused=True)
     rng = np.random.default_rng(0)
     xy, _ = ray_grid(cfg.featmap_size)
     cam = base_cam(cfg.featmap_size)

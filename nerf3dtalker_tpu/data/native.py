@@ -23,15 +23,28 @@ _LIB_PATH = os.path.join(
 _lib = None
 
 
+def _build() -> None:
+    """Compile the runtime in-place (fresh checkouts ship only the .cpp)."""
+    import subprocess
+
+    src = os.path.join(os.path.dirname(_LIB_PATH), "nerf3dt_native.cpp")
+    cmd = [
+        "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+        "-o", _LIB_PATH, src, "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (OSError, subprocess.SubprocessError) as e:
+        raise ImportError(
+            f"native library not built and auto-build failed: {' '.join(cmd)}: {e}"
+        ) from e
+
+
 def _load():
     global _lib
     if _lib is None:
         if not os.path.exists(_LIB_PATH):
-            raise ImportError(
-                f"native library not built: {_LIB_PATH}; "
-                "run g++ -O3 -shared -fPIC -std=c++17 -o "
-                "native/libnerf3dt_native.so native/nerf3dt_native.cpp -lpthread"
-            )
+            _build()
         lib = ctypes.CDLL(_LIB_PATH)
         lib.n3d_mel_frames.restype = ctypes.c_int
         lib.n3d_mel_frames.argtypes = [ctypes.c_int] * 3

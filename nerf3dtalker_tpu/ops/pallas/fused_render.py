@@ -330,12 +330,14 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
         )
 
     def mmT_l(a, b):
-        """a.T @ b : contract first dims. f32 operands — Mosaic on this
-        toolchain cannot relayout *computed* bf16 values into the
-        transposed-contraction layout ('Not implemented: Offset change');
-        f32 computed operands lower fine."""
+        """a.T @ b : contract first dims, bf16 operands, f32 accumulate.
+        (An earlier toolchain could not relayout computed bf16 values into
+        the transposed-contraction layout — 'Not implemented: Offset
+        change' — which forced f32 operands at ~4x MXU cost; the current
+        toolchain lowers computed-bf16 transposed contractions fine, see
+        scripts/probe_mosaic_bf16T.py.)"""
         return jax.lax.dot_general(
-            a.astype(f32), b.astype(f32), (((0,), (0,)), ((), ())),
+            a.astype(dtype), b.astype(dtype), (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
 
@@ -622,8 +624,9 @@ def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret):
 def _fused_render_b(tile_rays, compute_dtype, interpret, res, g):
     pe, zd, zv, weights = res
     g_feat, g_bg, g_depth = g
-    bwd_tile = min(tile_rays, 16)   # smaller tiles: all activations + the
-    # f32 weight-grad accumulators must fit VMEM simultaneously
+    bwd_tile = min(tile_rays, 32)   # tile 32 measured fastest on v5e
+    # (18.9 ms kernel fwd+bwd at Reso64 vs 25+ at tile 16); tile 64 fails to
+    # compile — activations + f32 weight-grad accumulators exceed VMEM
     return fused_render_bwd(
         pe, zd, zv, weights, g_feat, g_bg, g_depth,
         tile_rays=bwd_tile, compute_dtype=compute_dtype, interpret=interpret,

@@ -67,6 +67,7 @@ def build_step_fns(
     vgg_params=None,
     compute_dtype=None,
     mesh=None,
+    use_fused: Optional[bool] = None,
 ) -> StepFns:
     """Construct (train_step, eval_step, render, init) closures.
 
@@ -80,7 +81,11 @@ def build_step_fns(
       xy [B, N_r, 2]
     """
     cdt = compute_dtype or (jnp.bfloat16 if train_cfg.bf16_compute else jnp.float32)
-    model = HeadNeRF(nerf_cfg, compute_dtype=cdt)
+    if use_fused is None:
+        # default to the fused Pallas render on real TPU backends; the CPU
+        # path keeps the jnp oracle (mosaic interpret mode is test-only)
+        use_fused = jax.default_backend() not in ("cpu",) and mesh is None
+    model = HeadNeRF(nerf_cfg, compute_dtype=cdt, use_fused=use_fused)
     audio_model = Audio2Style()
     optimizer = make_optimizer(train_cfg, steps_per_epoch)
 

@@ -91,7 +91,13 @@ if "--parity" in sys.argv:
     sys.exit(0)
 
 results = []
-for tf, tb in [(64, 16), (64, 32), (128, 32), (64, 8), (128, 64), (256, 32)]:
+import ast
+
+configs = (
+    ast.literal_eval(sys.argv[1]) if len(sys.argv) > 1
+    else [(64, 16), (64, 32), (128, 32)]
+)
+for tf, tb in configs:
     try:
         gfn = loss_with(tf, tb)
 
