@@ -144,6 +144,72 @@ def cmd_render(args):
     print(f"wrote {views.shape} to {out}")
 
 
+def cmd_infer_coeff(args):
+    """Audio -> per-frame expression/pose coefficients (the reference
+    `s_inference.py:14-90` flow): wav (or --text via the placeholder TTS)
+    -> mel chunks -> Audio2Coeff.generate -> .npz."""
+    import numpy as np
+
+    from nerf3dtalker_tpu.data.mel import (
+        blink_ratio_sequence,
+        per_frame_mel_chunks,
+    )
+    from nerf3dtalker_tpu.models.audio2coeff import Audio2Coeff
+
+    wav_path = args.wav
+    if not wav_path and args.text:
+        from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+
+        wav_path = synthesize_placeholder(args.text)
+        print(f"tts -> {wav_path}")
+    import wave
+
+    with wave.open(wav_path, "rb") as f:
+        pcm = np.frombuffer(
+            f.readframes(f.getnframes()), np.int16
+        ).astype(np.float32) / 32768.0
+        sr = f.getframerate()
+    mels = per_frame_mel_chunks(pcm, sr=sr, fps=args.fps)
+    T = len(mels)
+    ratios = blink_ratio_sequence(T, np.random.default_rng(args.seed))
+
+    if args.safetensors:
+        a2c = Audio2Coeff.from_safetensors(args.safetensors)
+    else:
+        a2c = Audio2Coeff()       # zero-init netG: pipeline smoke mode
+    ref_exp = np.zeros(64, np.float32)
+    ref_pose = np.zeros((T, 6), np.float32)
+    out = a2c.generate(mels, ref_exp, ratios, ref_pose=ref_pose)
+    path = args.out or "coeffs.npz"
+    np.savez(path, exp=out["exp"], pose=out["pose"], mels=mels, ratios=ratios)
+    print(f"wrote exp{out['exp'].shape} pose{out['pose'].shape} to {path}")
+
+
+def cmd_preprocess(args):
+    """Offline subject preprocessing (DataProcess/Gen_mask_lm_3DMM.py flow):
+    frames dir + wav -> packed npz of training arrays."""
+    import numpy as np
+
+    from nerf3dtalker_tpu.data.preprocess import preprocess_subject
+
+    frames = np.load(args.frames) if args.frames.endswith(".npy") else None
+    if frames is None:
+        raise SystemExit("--frames must be a [T,H,W,3] .npy stack")
+    import wave
+
+    with wave.open(args.wav, "rb") as f:
+        pcm = np.frombuffer(
+            f.readframes(f.getnframes()), np.int16
+        ).astype(np.float32) / 32768.0
+    arrays = preprocess_subject(
+        frames.astype(np.float32), pcm, featmap_size=args.featmap_size,
+        seed=args.seed,
+    )
+    path = args.out or "subject.npz"
+    np.savez(path, **arrays)
+    print(f"wrote {sorted(arrays)} to {path}")
+
+
 def cmd_bench(args):
     import runpy
 
@@ -191,6 +257,23 @@ def main(argv=None):
     pr.add_argument("--views", type=int, default=45)
     pr.add_argument("--out", type=str, default="")
     pr.set_defaults(fn=cmd_render)
+
+    pi = sub.add_parser("infer-coeff")
+    pi.add_argument("--wav", type=str, default="")
+    pi.add_argument("--text", type=str, default="")
+    pi.add_argument("--safetensors", type=str, default="")
+    pi.add_argument("--fps", type=int, default=25)
+    pi.add_argument("--seed", type=int, default=0)
+    pi.add_argument("--out", type=str, default="")
+    pi.set_defaults(fn=cmd_infer_coeff)
+
+    pp = sub.add_parser("preprocess")
+    pp.add_argument("--frames", type=str, required=True)
+    pp.add_argument("--wav", type=str, required=True)
+    pp.add_argument("--featmap-size", type=int, default=32)
+    pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--out", type=str, default="")
+    pp.set_defaults(fn=cmd_preprocess)
 
     pb = sub.add_parser("bench")
     pb.set_defaults(fn=cmd_bench)

@@ -28,14 +28,20 @@ class Audio2Coeff:
         (s_utils/safetensor_helper key-prefix extraction)."""
         from nerf3dtalker_tpu.data.ingest import load_safetensors_prefix
 
+        from nerf3dtalker_tpu.utils.convert import convert_simple_wrapper_v2
+
         sd = load_safetensors_prefix(path, "audio2exp")
         if not sd:
             raise ValueError(f"no 'audio2exp.*' tensors found in {path}")
-        # raw torch-layout arrays; convert conv/linear weights to flax
-        # layout before constructing SimpleWrapperV2 params (see
-        # utils/convert.py for the pattern). Returned here unconverted for
-        # the caller to map — netg_params accepts a ready flax tree.
-        return cls(netg_params=None), sd
+        # strip the torch wrapper prefix (s_test_audio2coeff.py:63-65 loads
+        # `audio2exp_model.netG.*`)
+        inner = {}
+        for k, v in sd.items():
+            for pre in ("audio2exp_model.netG.", "netG.", ""):
+                if k.startswith(pre):
+                    inner[k[len(pre):]] = v
+                    break
+        return cls(netg_params=convert_simple_wrapper_v2(inner))
 
     def generate(
         self,

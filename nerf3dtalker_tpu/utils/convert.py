@@ -116,6 +116,38 @@ def convert_audio2style(sd: Dict, prefix: str = "") -> Dict:
     return out
 
 
+def convert_simple_wrapper_v2(sd: Dict) -> Dict:
+    """SadTalker netG state_dict -> SimpleWrapperV2 variables.
+
+    Torch layout (s_audio2exp_models/networks.py:26-74, safetensors keys
+    with the `audio2exp` prefix stripped): 13 `audio_encoder.{i}` Conv2d+BN
+    blocks plus `mapping1`. Returns {"params", "batch_stats"} for the NHWC
+    flax module (models/audio.py SimpleWrapperV2)."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(13):
+        base = f"audio_encoder.{i}.conv_block"
+        w = np.asarray(sd[f"{base}.0.weight"])      # [out, in, kh, kw]
+        params[f"enc_{i}"] = {
+            "conv": {
+                "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                "bias": np.asarray(sd[f"{base}.0.bias"]).astype(np.float32),
+            },
+            "bn": {
+                "scale": np.asarray(sd[f"{base}.1.weight"]).astype(np.float32),
+                "bias": np.asarray(sd[f"{base}.1.bias"]).astype(np.float32),
+            },
+        }
+        stats[f"enc_{i}"] = {
+            "bn": {
+                "mean": np.asarray(sd[f"{base}.1.running_mean"]).astype(np.float32),
+                "var": np.asarray(sd[f"{base}.1.running_var"]).astype(np.float32),
+            }
+        }
+    params["mapping1"] = _dense(sd, "mapping1")
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_checkpoint(path: str) -> Tuple[Dict, Dict]:
     """Load a reference `*_ckpt.pth.tar` -> (headnerf_params, meta).
 

@@ -130,3 +130,79 @@ def test_audio2style_matches_torch_lstm():
 
     got = np.asarray(Audio2Style().apply(params, jnp.asarray(mels)))
     np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+def _torch_netg():
+    """Torch twin of the SadTalker netG spec (s_audio2exp_models/
+    networks.py:26-74): 13 Conv2d+BN blocks + mapping1 Linear."""
+    spec = [
+        (1, 32, 3, (1, 1), 1, False), (32, 32, 3, (1, 1), 1, True),
+        (32, 32, 3, (1, 1), 1, True),
+        (32, 64, 3, (3, 1), 1, False), (64, 64, 3, (1, 1), 1, True),
+        (64, 64, 3, (1, 1), 1, True),
+        (64, 128, 3, (3, 3), 1, False), (128, 128, 3, (1, 1), 1, True),
+        (128, 128, 3, (1, 1), 1, True),
+        (128, 256, 3, (3, 2), 1, False), (256, 256, 3, (1, 1), 1, True),
+        (256, 512, 3, (1, 1), 0, False), (512, 512, 1, (1, 1), 0, False),
+    ]
+    enc = nn.Module()
+    blocks = []
+    for i, (cin, cout, k, s, p, res) in enumerate(spec):
+        blk = nn.Module()
+        blk.add_module("conv_block", nn.Sequential(
+            nn.Conv2d(cin, cout, k, s, p), nn.BatchNorm2d(cout)))
+        blk.residual = res
+        enc.add_module(str(i), blk)
+        blocks.append(blk)
+    m = nn.Module()
+    m.add_module("audio_encoder", enc)
+    m.add_module("mapping1", nn.Linear(512 + 64 + 1, 64))
+    return m, blocks
+
+
+def _torch_netg_forward(m, blocks, mel, ref, ratio):
+    import torch.nn.functional as F
+
+    x = mel
+    for blk in blocks:
+        y = blk.get_submodule("conv_block")(x)
+        if blk.residual:
+            y = y + x
+        x = F.relu(y)
+    x = x.reshape(x.size(0), -1)
+    return m.get_submodule("mapping1")(
+        torch.cat([x, ref.reshape(x.size(0), -1), ratio.reshape(x.size(0), -1)], 1)
+    )
+
+
+def test_simple_wrapper_v2_matches_torch_reference_spec():
+    from nerf3dtalker_tpu.models.audio import SimpleWrapperV2
+    from nerf3dtalker_tpu.utils.convert import convert_simple_wrapper_v2
+
+    torch.manual_seed(1)
+    m, blocks = _torch_netg()
+    # randomize BN running stats so the converted batch_stats actually matter
+    for blk in blocks:
+        bn = blk.get_submodule("conv_block")[1]
+        bn.running_mean.normal_(0.0, 0.1)
+        bn.running_var.uniform_(0.5, 1.5)
+    m.eval()
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 1, 80, 16)).astype(np.float32)
+    ref = rng.standard_normal((2, 64)).astype(np.float32)
+    ratio = rng.uniform(0, 1, (2, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = _torch_netg_forward(
+            m, blocks, torch.from_numpy(mel), torch.from_numpy(ref),
+            torch.from_numpy(ratio),
+        ).numpy()
+
+    sd = {k: v.detach().numpy() for k, v in m.state_dict().items()}
+    variables = convert_simple_wrapper_v2(sd)
+    got = SimpleWrapperV2().apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(mel.transpose(0, 2, 3, 1)),   # NCHW -> NHWC
+        jnp.asarray(ref), jnp.asarray(ratio),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-4)
