@@ -47,7 +47,17 @@ def measure(mesh, cfg, tc, B, iters=8):
 
 
 def main():
+    import os
+
     import jax
+
+    # the axon plugin's sitecustomize overrides JAX_PLATFORMS at boot;
+    # re-assert the env request so `JAX_PLATFORMS=cpu XLA_FLAGS=
+    # --xla_force_host_platform_device_count=8 python bench_scaling.py`
+    # really runs on the virtual CPU mesh
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
 
     from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
     from nerf3dtalker_tpu.parallel import make_mesh

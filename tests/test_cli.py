@@ -1,0 +1,38 @@
+"""CLI surface smoke tests (the reference's script entry points —
+train.py, s_inference.py, DataProcess/* — unified under one argparse CLI)."""
+
+import numpy as np
+
+from nerf3dtalker_tpu.cli import main
+
+
+def test_infer_coeff_from_text(tmp_path):
+    out = tmp_path / "coeffs.npz"
+    main([
+        "infer-coeff", "--text", "hello tpu talking head",
+        "--out", str(out), "--seed", "3",
+    ])
+    z = np.load(out)
+    T = z["exp"].shape[0]
+    assert z["exp"].shape == (T, 64) and T >= 25
+    assert z["pose"].shape == (T, 6)
+    assert z["mels"].shape == (T, 80, 16)
+    assert np.isfinite(z["mels"]).all()
+
+
+def test_preprocess_subject_npz(tmp_path):
+    from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+
+    frames = (np.random.default_rng(0).uniform(0, 1, (4, 32, 32, 3))).astype(
+        np.float32
+    )
+    fpath = tmp_path / "frames.npy"
+    np.save(fpath, frames)
+    wav = synthesize_placeholder("four frames of audio", path=str(tmp_path / "a.wav"))
+    out = tmp_path / "subject.npz"
+    main([
+        "preprocess", "--frames", str(fpath), "--wav", wav,
+        "--featmap-size", "8", "--out", str(out),
+    ])
+    z = np.load(out)
+    assert "mels" in z and "head_mask" in z
