@@ -21,7 +21,10 @@ import jax.numpy as jnp
 from nerf3dtalker_tpu.config import NeRFConfig
 from nerf3dtalker_tpu.models.nerf_mlp import NeRFMLP
 from nerf3dtalker_tpu.models.neural_renderer import NeuralRenderer
-from nerf3dtalker_tpu.ops.embedding import positional_encoding
+from nerf3dtalker_tpu.ops.embedding import (
+    positional_encoding,
+    positional_encoding_rays,
+)
 from nerf3dtalker_tpu.ops.compositing import alpha_composite
 from nerf3dtalker_tpu.ops.rays import (
     Rays,
@@ -131,7 +134,9 @@ class HeadNeRF(nn.Module):
         sp = sample_points(rays, zb)
 
         if self._fused_ok and not self.is_initializing():
-            out = self._fused_forward(sp, shape_code, appea_code, audio_style, B, S)
+            out = self._fused_forward(
+                rays, sp, shape_code, appea_code, audio_style, B, S
+            )
         else:
             feat, density = self._point_features(
                 self.mlp, sp.pts, sp.dirs, shape_code, appea_code, audio_style
@@ -154,14 +159,19 @@ class HeadNeRF(nn.Module):
 
         return out
 
-    def _fused_forward(self, sp, shape_code, appea_code, audio_style, B, S):
+    def _fused_forward(self, rays, sp, shape_code, appea_code, audio_style, B, S):
         """PE + MLP + compositing via the fused Pallas kernel."""
         from nerf3dtalker_tpu.ops.compositing import CompositeResult
         from nerf3dtalker_tpu.ops.pallas import fused_render as fr
 
         cfg = self.cfg
-        pe = positional_encoding(sp.pts, cfg.vp_n_freqs, cfg.vp_include_input)
-        pe = jnp.pad(pe, ((0, 0), (0, 0), (0, 0), (0, fr.PE_PAD - pe.shape[-1])))
+        # matmul-form PE writes straight into the kernel's [N, PE_PAD]
+        # layout; sp.pts (lane-hostile [..., 3]) is never materialized —
+        # XLA dead-code-eliminates it
+        pe = positional_encoding_rays(
+            rays.origins, rays.directions, rays.lengths, sp.zvals,
+            cfg.vp_n_freqs, cfg.vp_include_input, pad_to=fr.PE_PAD,
+        )
         packed = fr.pack_weights(
             self.mlp.variables["params"], shape_code, appea_code, audio_style
         )

@@ -106,8 +106,8 @@ def _fwd_kernel(pe_ref, zd_ref, zv_ref,
     rgb, sigma = _mlp_tile(
         pe, w0p[...], wh[...], w5p[...], w5x[...], wd[...], wr0[...],
         wr1[...], wr2[...],
-        b0[...][0], bh[...], b5[...][0], bd[0, 0], br0[...], br1[...][0],
-        br2[...], dtype,
+        b0[...][0, 0], bh[...], b5[...][0, 0], bd[0, 0], br0[...],
+        br1[...][0, 0], br2[...], dtype,
     )
     feat, bg_alpha, depth, w = _composite_tile(
         rgb, sigma, zd_ref[...][0], zv_ref[...][0], tr, ltri[...]
@@ -124,6 +124,11 @@ def _fwd_kernel(pe_ref, zd_ref, zv_ref,
 
 def _strict_lower_tri():
     return np.tril(np.ones((NS, NS), np.float32), k=-1)
+
+
+def _sublane8(arr: jnp.ndarray) -> jnp.ndarray:
+    """[B, X] -> [B, 8, X] (row broadcast into the padded sublane dim)."""
+    return jnp.broadcast_to(arr[:, None, :], (arr.shape[0], 8, arr.shape[1]))
 
 
 @functools.partial(
@@ -158,26 +163,31 @@ def fused_render_fwd(
             arr.shape, lambda b, t: (0,) * arr.ndim, memory_space=pltpu.VMEM
         )
 
-    def bbatch_block(arr):  # [B, X] -> per-batch row
+    def bbatch_block(arr):  # [B, 8, X] -> per-batch (8-sublane-padded) row
         return pl.BlockSpec(
-            (1, arr.shape[1]), lambda b, t: (b, 0), memory_space=pltpu.VMEM
+            (1, 8, arr.shape[2]), lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         )
 
     w = {k: v.astype(cdt) for k, v in weights.items() if k.startswith("w")}
     b = {k: v.astype(jnp.float32) for k, v in weights.items() if k.startswith("b")}
     bd = b["bd"].reshape(1, 1)
+    # per-batch rows padded to 8 sublanes: Mosaic requires block dims
+    # divisible by (8, 128) or equal to the array dims, so a (1, X) block of
+    # a [B, X] array is only legal at B == 1
+    b0_8, b5_8, br1_8 = (_sublane8(b[k]) for k in ("b0", "b5", "br1"))
 
     args = (
         pe, z_dists, zvals,
         w["w0p"], w["wh"], w["w5p"], w["w5x"], w["wd"],
         w["wr0"], w["wr1"], w["wr2"],
-        b["b0"], b["bh"], b["b5"], bd, b["br0"], b["br1"], b["br2"], ltri,
+        b0_8, b["bh"], b5_8, bd, b["br0"], br1_8, b["br2"], ltri,
     )
     in_specs = (
         [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,))]
         + [const_block(a) for a in args[3:11]]
-        + [bbatch_block(b["b0"]), const_block(b["bh"]), bbatch_block(b["b5"]),
-           const_block(bd), const_block(b["br0"]), bbatch_block(b["br1"]),
+        + [bbatch_block(b0_8), const_block(b["bh"]), bbatch_block(b5_8),
+           const_block(bd), const_block(b["br0"]), bbatch_block(br1_8),
            const_block(b["br2"]), const_block(ltri)]
     )
 
@@ -345,8 +355,8 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     pe, xs, sigma_pre, sigma, r0, r1, rgb = _mlp_tile_fwd_stash(
         pe_in, w0p[...], wh[...], w5p[...], w5x[...], wd[...], wr0[...],
         wr1[...], wr2[...],
-        b0[...][0], bh[...], b5[...][0], bd[0, 0], br0[...], br1[...][0],
-        br2[...], dtype,
+        b0[...][0, 0], bh[...], b5[...][0, 0], bd[0, 0], br0[...],
+        br1[...][0, 0], br2[...], dtype,
     )
     zd = zd_ref[...][0]
     zv = zv_ref[...][0]
@@ -450,14 +460,19 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
             preferred_element_type=f32,
         )
 
+    def brow(x):  # [1, X] -> [1, 8, X] (row 0 live, rows 1-7 zero)
+        return jnp.concatenate(
+            [x[None], jnp.zeros((1, 7, x.shape[1]), f32)], axis=1
+        )
+
     for i in range(6):
         dwh_refs[i][...] += mmT_l(xin[i], gs[i])
         dbh_refs[i][...] += colsum(gs[i])
-    db0[...] += colsum(g0)
-    db5[...] += colsum(g5)
+    db0[...] += brow(colsum(g0))
+    db5[...] += brow(colsum(g5))
     dbd[...] += colsum(d_sig_pad)     # col 0 = sum d_sigma_pre, rest 0
     dbr0[...] += colsum(d_r0)
-    dbr1[...] += colsum(d_r1)
+    dbr1[...] += brow(colsum(d_r1))
     dbr2[...] += colsum(d_rgb)
 
 
@@ -495,12 +510,14 @@ def fused_render_bwd(
 
     def bbatch_block(arr):
         return pl.BlockSpec(
-            (1, arr.shape[1]), lambda b, t: (b, 0), memory_space=pltpu.VMEM
+            (1, 8, arr.shape[2]), lambda b, t: (b, 0, 0),
+            memory_space=pltpu.VMEM,
         )
 
     w = {k: v.astype(cdt) for k, v in weights.items() if k.startswith("w")}
     b = {k: v.astype(f32) for k, v in weights.items() if k.startswith("b")}
     bd = b["bd"].reshape(1, 1)
+    b0_8, b5_8, br1_8 = (_sublane8(b[k]) for k in ("b0", "b5", "br1"))
 
     # pre-transposed copies for the in-kernel dx chain (XLA-side transpose)
     wT = {
@@ -514,14 +531,14 @@ def fused_render_bwd(
         w["wr0"], w["wr1"], w["wr2"],
         wT["w0pT"], wT["whT"], wT["w5pT"], wT["w5xT"], wT["wdT"],
         wT["wr0T"], wT["wr1T"], wT["wr2T"],
-        b["b0"], b["bh"], b["b5"], bd, b["br0"], b["br1"], b["br2"], ltri,
+        b0_8, b["bh"], b5_8, bd, b["br0"], br1_8, b["br2"], ltri,
     )
     in_specs = (
         [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
          ray_block((FEAT,)), ray_block((DPAD,))]
         + [const_block(a) for a in args[5:21]]
-        + [bbatch_block(b["b0"]), const_block(b["bh"]), bbatch_block(b["b5"]),
-           const_block(bd), const_block(b["br0"]), bbatch_block(b["br1"]),
+        + [bbatch_block(b0_8), const_block(b["bh"]), bbatch_block(b5_8),
+           const_block(bd), const_block(b["br0"]), bbatch_block(br1_8),
            const_block(b["br2"]), const_block(ltri)]
     )
 
@@ -530,7 +547,7 @@ def fused_render_bwd(
             shape, lambda bq, t: (0,) * len(shape), memory_space=pltpu.VMEM
         )
 
-    def bacc_block(shape):
+    def bacc_block(shape):  # [B, 8, X] per-batch accumulator (row 0 live)
         return pl.BlockSpec(
             (1,) + shape[1:], lambda bq, t: (bq,) + (0,) * (len(shape) - 1),
             memory_space=pltpu.VMEM,
@@ -548,12 +565,12 @@ def fused_render_bwd(
         jax.ShapeDtypeStruct((H, H), f32),               # dwr0
         jax.ShapeDtypeStruct((H, H2), f32),              # dwr1
         jax.ShapeDtypeStruct((H2, FEAT), f32),           # dwr2
-        jax.ShapeDtypeStruct((B, H), f32),               # db0
+        jax.ShapeDtypeStruct((B, 8, H), f32),            # db0 (row 0 live)
     ] + [jax.ShapeDtypeStruct((1, H), f32)] * 6 + [      # dbh0..5
-        jax.ShapeDtypeStruct((B, H), f32),               # db5
+        jax.ShapeDtypeStruct((B, 8, H), f32),            # db5 (row 0 live)
         jax.ShapeDtypeStruct((1, DPAD), f32),            # dbd (col 0)
         jax.ShapeDtypeStruct((1, H), f32),               # dbr0
-        jax.ShapeDtypeStruct((B, H2), f32),              # dbr1
+        jax.ShapeDtypeStruct((B, 8, H2), f32),           # dbr1 (row 0 live)
         jax.ShapeDtypeStruct((1, FEAT), f32),            # dbr2
     ]
     out_specs = [
@@ -562,10 +579,10 @@ def fused_render_bwd(
     ] + [acc_block((H, H))] * 6 + [
         acc_block((PE_PAD, H)), acc_block((H, H)), acc_block((H, DPAD)),
         acc_block((H, H)), acc_block((H, H2)), acc_block((H2, FEAT)),
-        bacc_block((B, H)),
+        bacc_block((B, 8, H)),
     ] + [acc_block((1, H))] * 6 + [
-        bacc_block((B, H)),
-        acc_block((1, DPAD)), acc_block((1, H)), bacc_block((B, H2)),
+        bacc_block((B, 8, H)),
+        acc_block((1, DPAD)), acc_block((1, H)), bacc_block((B, 8, H2)),
         acc_block((1, FEAT)),
     ]
 
@@ -590,8 +607,9 @@ def fused_render_bwd(
     d_weights = {
         "w0p": dw0p, "wh": dwh, "w5p": dw5p, "w5x": dw5x, "wd": dwd,
         "wr0": dwr0, "wr1": dwr1, "wr2": dwr2,
-        "b0": db0, "bh": dbh, "b5": db5, "bd": dbd[0, 0].reshape(()),
-        "br0": dbr0[0], "br1": dbr1, "br2": dbr2[0],
+        "b0": db0[:, 0], "bh": dbh, "b5": db5[:, 0],
+        "bd": dbd[0, 0].reshape(()),
+        "br0": dbr0[0], "br1": dbr1[:, 0], "br2": dbr2[0],
     }
     return d_pe, d_zd, d_zv, d_weights
 

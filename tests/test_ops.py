@@ -39,6 +39,34 @@ def test_positional_encoding_matches_torch_order():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+def test_positional_encoding_rays_matches_reference_path():
+    """The matmul-form PE (TPU layout-friendly) must reproduce
+    pad(positional_encoding(sample_points(...).pts)) exactly."""
+    from nerf3dtalker_tpu.ops.embedding import positional_encoding_rays
+
+    xy, _ = ray_grid(8)
+    cam = base_cam(8)
+    B = 2
+    rays = gen_rays(
+        jnp.asarray(np.tile(xy, (B, 1, 1))),
+        jnp.asarray(np.tile(cam.Rmat, (B, 1, 1))),
+        jnp.asarray(np.tile(cam.Tvec, (B, 1))),
+        jnp.asarray(np.tile(cam.inv_inmat, (B, 1, 1))),
+    )
+    zb = stratified_zvals(rays, 16, 2.5, -3.5, jax.random.key(3))
+    sp = sample_points(rays, zb)
+
+    want = positional_encoding(sp.pts, n_freqs=10)
+    want = jnp.pad(want, ((0, 0), (0, 0), (0, 0), (0, 64 - want.shape[-1])))
+    got = positional_encoding_rays(
+        rays.origins, rays.directions, rays.lengths, sp.zvals,
+        n_freqs=10, pad_to=64,
+    )
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=1e-6)
+
+
 def test_gen_rays_geometry():
     """ray_d = R K^-1 [x,y,1] normalized; ray_l = -1/dz
     (NetWorks/utils.py:147-161)."""
