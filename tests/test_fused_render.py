@@ -103,6 +103,35 @@ def test_gradients_flow_through_custom_vjp():
     )
 
 
+def test_batched_gradients_match_oracle():
+    """B>1 exercises the [B, 8, X] sublane-padded per-batch bias blocks
+    (b0/b5/br1 rows and their row-0 grad accumulators)."""
+    _, _, packed, pe, zd, zv, _ = _setup(B=2, R=32, seed=1)
+
+    def loss(w, p):
+        f, bg, d = fused_render(p, zd, zv, w, 16, jnp.float32, True)
+        return jnp.mean(f ** 2) + jnp.mean(bg ** 2) + jnp.mean(d ** 2)
+
+    def loss_ref(w, p):
+        f, bg, d = reference_render(p, zd, zv, w)
+        return jnp.mean(f ** 2) + jnp.mean(bg ** 2) + jnp.mean(d ** 2)
+
+    g_w, g_pe = jax.grad(loss, argnums=(0, 1))(packed, pe)
+    g_w2, g_pe2 = jax.grad(loss_ref, argnums=(0, 1))(packed, pe)
+    np.testing.assert_allclose(
+        np.asarray(g_pe), np.asarray(g_pe2), rtol=1e-5, atol=1e-6
+    )
+    for k in g_w:
+        np.testing.assert_allclose(
+            np.asarray(g_w[k]), np.asarray(g_w2[k]),
+            rtol=1e-5, atol=1e-6, err_msg=k,
+        )
+    # the two batch rows of the per-batch bias grads must differ (distinct
+    # codes -> distinct conditioning)
+    for k in ("b0", "b5", "br1"):
+        assert float(jnp.linalg.norm(g_w[k][0] - g_w[k][1])) > 0, k
+
+
 def test_headnerf_fused_matches_standard():
     """Full model forward: fused path vs standard path at Reso64 shapes
     (small ray count via smaller featmap is impossible — kernel needs the
