@@ -38,7 +38,12 @@ def main():
 
     cfg = reso64()
     # fused Pallas render kernel (fwd + bwd) — the production TPU path
-    model = HeadNeRF(cfg, compute_dtype=jnp.bfloat16, use_fused=True)
+    # fused_input_grads=False: the parameter-only train step never uses
+    # d_pe/d_zd/d_zv, and Pallas outputs can't be DCE'd by XLA
+    model = HeadNeRF(
+        cfg, compute_dtype=jnp.bfloat16, use_fused=True,
+        fused_input_grads=False,
+    )
     rng = np.random.default_rng(0)
     xy, _ = ray_grid(cfg.featmap_size)
     cam = base_cam(cfg.featmap_size)

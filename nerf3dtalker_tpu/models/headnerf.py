@@ -43,6 +43,11 @@ class HeadNeRF(nn.Module):
     # config doesn't match the kernel's compiled constants.
     use_fused: bool = False
     fused_interpret: bool = False   # interpreter mode (CPU tests)
+    # When False, the fused backward skips d_pe/d_zd/d_zv (their HBM writes
+    # cannot be DCE'd out of a pallas_call) — set by the parameter-only
+    # training step; MUST stay True when differentiating w.r.t. cameras or
+    # ray geometry (the fitting drivers).
+    fused_input_grads: bool = True
 
     @property
     def _fused_ok(self) -> bool:
@@ -182,7 +187,7 @@ class HeadNeRF(nn.Module):
         feat, bg_alpha, depth = fr.fused_render(
             pe, sp.z_dists, sp.zvals, packed,
             tile, jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 else jnp.float32,
-            self.fused_interpret,
+            self.fused_interpret, self.fused_input_grads,
         )
         comp = CompositeResult(
             features=feat, bg_alpha=bg_alpha, depth=depth, weights=None

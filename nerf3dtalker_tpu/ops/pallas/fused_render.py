@@ -324,7 +324,7 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
                 dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
                 db0, dbh0, dbh1, dbh2, dbh3, dbh4, dbh5,
                 db5, dbd, dbr0, dbr1, dbr2,
-                *, tr, dtype):
+                *, tr, dtype, input_grads):
     """Recompute forward, backprop in VMEM, accumulate weight grads across
     grid steps (constant-index outputs persist; init on the first step)."""
     f32 = jnp.float32
@@ -388,8 +388,9 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     d_alpha = d_w * T - S / t
     one_m_a = 1.0 - alpha
     d_sigma = d_alpha * zd * one_m_a
-    dzd_ref[...] = (d_alpha * sig * one_m_a)[None]
-    dzv_ref[...] = (w * g_depth[:, None])[None]
+    if input_grads:
+        dzd_ref[...] = (d_alpha * sig * one_m_a)[None]
+        dzv_ref[...] = (w * g_depth[:, None])[None]
     d_sigma_pre = (d_sigma.reshape(tr * NS) * (sigma_pre > 0)).astype(f32)
 
     # ---- MLP backward ----
@@ -419,8 +420,9 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     g1 = relu_mask(mm(g2.astype(dtype), whT[...][1]), xs[1])
     g0 = relu_mask(mm(g1.astype(dtype), whT[...][0]), xs[0])
 
-    d_pe = mm(g0.astype(dtype), w0pT[...]) + mm(g5.astype(dtype), w5pT[...])
-    dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
+    if input_grads:
+        d_pe = mm(g0.astype(dtype), w0pT[...]) + mm(g5.astype(dtype), w5pT[...])
+        dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
 
     # ---- weight/bias gradient accumulation ----
     first = (b_idx == 0) & (t_idx == 0)
@@ -477,13 +479,22 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tile_rays", "compute_dtype", "interpret")
+    jax.jit,
+    static_argnames=("tile_rays", "compute_dtype", "interpret", "input_grads"),
 )
 def fused_render_bwd(
     pe, z_dists, zvals, weights, g_feat, g_bg, g_depth,
     tile_rays: int = 16, compute_dtype=jnp.bfloat16, interpret: bool = False,
+    input_grads: bool = True,
 ):
-    """Pallas backward: returns (d_pe, d_zd, d_zv, d_weights)."""
+    """Pallas backward: returns (d_pe, d_zd, d_zv, d_weights).
+
+    With ``input_grads=False`` the d_pe/d_zd/d_zv outputs are dropped from
+    the pallas_call (zeros returned instead) — the training step never
+    differentiates w.r.t. ray geometry, and Pallas outputs cannot be
+    dead-code-eliminated by XLA, so keeping them costs ~270 MB of HBM
+    writes + two [N,H]x[H,PE_PAD] matmuls per step for nothing. The
+    fitting drivers (camera/code optimization) use input_grads=True."""
     B, R = pe.shape[0], pe.shape[1]
     assert R % tile_rays == 0
     n_tiles = R // tile_rays
@@ -553,10 +564,12 @@ def fused_render_bwd(
             memory_space=pltpu.VMEM,
         )
 
-    out_shape = [
+    ray_outs = [
         jax.ShapeDtypeStruct((B, R, NS, PE_PAD), f32),   # d_pe
         jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zd
         jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zv
+    ] if input_grads else []
+    out_shape = ray_outs + [
         jax.ShapeDtypeStruct((PE_PAD, H), f32),          # dw0p
     ] + [jax.ShapeDtypeStruct((H, H), f32)] * 6 + [      # dwh0..5
         jax.ShapeDtypeStruct((PE_PAD, H), f32),          # dw5p
@@ -573,8 +586,11 @@ def fused_render_bwd(
         jax.ShapeDtypeStruct((B, 8, H2), f32),           # dbr1 (row 0 live)
         jax.ShapeDtypeStruct((1, FEAT), f32),            # dbr2
     ]
-    out_specs = [
-        ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
+    ray_out_specs = (
+        [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,))]
+        if input_grads else []
+    )
+    out_specs = ray_out_specs + [
         acc_block((PE_PAD, H)),
     ] + [acc_block((H, H))] * 6 + [
         acc_block((PE_PAD, H)), acc_block((H, H)), acc_block((H, DPAD)),
@@ -586,8 +602,20 @@ def fused_render_bwd(
         acc_block((1, FEAT)),
     ]
 
+    n_in = len(args)
+    if input_grads:
+        kern = functools.partial(
+            _bwd_kernel, tr=tile_rays, dtype=cdt, input_grads=True
+        )
+    else:
+        def kern(*refs):
+            _bwd_kernel(
+                *refs[:n_in], None, None, None, *refs[n_in:],
+                tr=tile_rays, dtype=cdt, input_grads=False,
+            )
+
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, tr=tile_rays, dtype=cdt),
+        kern,
         grid=(B, n_tiles),
         in_specs=in_specs,
         out_specs=out_specs,
@@ -598,7 +626,14 @@ def fused_render_bwd(
         ),
     )(*args)
 
-    (d_pe, d_zd, d_zv, dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
+    if input_grads:
+        d_pe, d_zd, d_zv = outs[:3]
+        outs = outs[3:]
+    else:
+        d_pe = jnp.zeros_like(pe)
+        d_zd = jnp.zeros_like(z_dists)
+        d_zv = jnp.zeros_like(zvals)
+    (dw0p, dwh0, dwh1, dwh2, dwh3, dwh4, dwh5,
      dw5p, dw5x, dwd, dwr0, dwr1, dwr2,
      db0, dbh0, dbh1, dbh2, dbh3, dbh4, dbh5,
      db5, dbd, dbr0, dbr1, dbr2) = outs
@@ -614,16 +649,18 @@ def fused_render_bwd(
     return d_pe, d_zd, d_zv, d_weights
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def fused_render(pe, z_dists, zvals, weights,
-                 tile_rays=256, compute_dtype=jnp.bfloat16, interpret=False):
+                 tile_rays=256, compute_dtype=jnp.bfloat16, interpret=False,
+                 input_grads=True):
     """Differentiable fused render: Pallas forward, recompute backward.
 
-    The backward runs jax.vjp over the jnp oracle (`reference_render`) —
-    numerically identical math, XLA-fused, rematerialized (no stored [P, H]
-    activations). Gradients flow to pe, z-geometry, and every packed
-    weight/bias (and through `pack_weights`' linear fold, to the original
-    MLP params and conditioning codes).
+    Gradients flow to pe, z-geometry, and every packed weight/bias (and
+    through `pack_weights`' linear fold, to the original MLP params and
+    conditioning codes). With ``input_grads=False`` the pe/z cotangents
+    are hard zeros (the Pallas backward skips their compute + HBM writes)
+    — only valid when nothing upstream of pe/z_dists/zvals is being
+    differentiated (the parameter-only training step).
     """
     return fused_render_fwd(
         pe, z_dists, zvals, weights,
@@ -631,7 +668,8 @@ def fused_render(pe, z_dists, zvals, weights,
     )
 
 
-def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret):
+def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret,
+                    input_grads):
     out = fused_render_fwd(
         pe, zd, zv, weights,
         tile_rays=tile_rays, compute_dtype=compute_dtype, interpret=interpret,
@@ -639,7 +677,7 @@ def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret):
     return out, (pe, zd, zv, weights)
 
 
-def _fused_render_b(tile_rays, compute_dtype, interpret, res, g):
+def _fused_render_b(tile_rays, compute_dtype, interpret, input_grads, res, g):
     pe, zd, zv, weights = res
     g_feat, g_bg, g_depth = g
     bwd_tile = min(tile_rays, 32)   # tile 32 measured fastest on v5e
@@ -648,10 +686,12 @@ def _fused_render_b(tile_rays, compute_dtype, interpret, res, g):
     return fused_render_bwd(
         pe, zd, zv, weights, g_feat, g_bg, g_depth,
         tile_rays=bwd_tile, compute_dtype=compute_dtype, interpret=interpret,
+        input_grads=input_grads,
     )
 
 
-def _fused_render_b_remat(tile_rays, compute_dtype, interpret, res, g):
+def _fused_render_b_remat(tile_rays, compute_dtype, interpret, input_grads,
+                          res, g):
     """Fallback backward: jax.vjp over the jnp oracle (rematerialized)."""
     pe, zd, zv, weights = res
     _, vjp = jax.vjp(

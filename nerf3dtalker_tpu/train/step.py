@@ -85,7 +85,13 @@ def build_step_fns(
         # default to the fused Pallas render on real TPU backends; the CPU
         # path keeps the jnp oracle (mosaic interpret mode is test-only)
         use_fused = jax.default_backend() not in ("cpu",) and mesh is None
-    model = HeadNeRF(nerf_cfg, compute_dtype=cdt, use_fused=use_fused)
+    # the train step only differentiates w.r.t. parameters, so the fused
+    # backward can skip the d_pe/d_zd/d_zv outputs (saves ~270 MB HBM
+    # writes/step at Reso64; the fitting drivers keep input grads on)
+    model = HeadNeRF(
+        nerf_cfg, compute_dtype=cdt, use_fused=use_fused,
+        fused_input_grads=False,
+    )
     audio_model = Audio2Style()
     optimizer = make_optimizer(train_cfg, steps_per_epoch)
 

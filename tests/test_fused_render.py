@@ -132,6 +132,26 @@ def test_batched_gradients_match_oracle():
         assert float(jnp.linalg.norm(g_w[k][0] - g_w[k][1])) > 0, k
 
 
+def test_input_grads_false_matches_weight_grads():
+    """input_grads=False (train-step mode) must leave weight grads
+    identical and return hard-zero pe cotangents."""
+    _, _, packed, pe, zd, zv, _ = _setup(B=2, R=32, seed=3)
+
+    def loss(w, p, ig):
+        f, bg, d = fused_render(p, zd, zv, w, 16, jnp.float32, True, ig)
+        return jnp.mean(f ** 2) + jnp.mean(bg ** 2)
+
+    gw1, gp1 = jax.grad(lambda w, p: loss(w, p, True), (0, 1))(packed, pe)
+    gw0, gp0 = jax.grad(lambda w, p: loss(w, p, False), (0, 1))(packed, pe)
+    for k in gw1:
+        np.testing.assert_allclose(
+            np.asarray(gw0[k]), np.asarray(gw1[k]),
+            rtol=1e-6, atol=1e-7, err_msg=k,
+        )
+    assert float(jnp.linalg.norm(gp0)) == 0.0
+    assert float(jnp.linalg.norm(gp1)) > 0
+
+
 def test_headnerf_fused_matches_standard():
     """Full model forward: fused path vs standard path at Reso64 shapes
     (small ray count via smaller featmap is impossible — kernel needs the
