@@ -61,8 +61,10 @@ def loss_with(tile_fwd, tile_bwd):
 
     def f_bwd(weights, g):
         gf, gb, gd = g
+        # input_grads=False == the train-step configuration being tuned
         _, _, _, dw = fr.fused_render_bwd(
-            pe, zd, zv, weights, gf, gb, gd, tile_rays=tile_bwd
+            pe, zd, zv, weights, gf, gb, gd, tile_rays=tile_bwd,
+            input_grads=False,
         )
         return (dw,)
 
