@@ -48,6 +48,9 @@ class HeadNeRF(nn.Module):
     # training step; MUST stay True when differentiating w.r.t. cameras or
     # ray geometry (the fitting drivers).
     fused_input_grads: bool = True
+    # Route the NeuralRenderer decoder through the fused phase-stacked
+    # Pallas kernels (ops/pallas/fused_upsampler.py).
+    use_fused_upsampler: bool = False
 
     @property
     def _fused_ok(self) -> bool:
@@ -180,10 +183,12 @@ class HeadNeRF(nn.Module):
         packed = fr.pack_weights(
             self.mlp.variables["params"], shape_code, appea_code, audio_style
         )
-        # tile of 64 rays x 64 samples = 4096 points: the largest tile whose
-        # double-buffered activations + resident weights fit in 16MB VMEM
-        # (bigger tiles force Mosaic to spill and lose the fusion win)
-        tile = min(64, pe.shape[1])
+        # fwd ray-tile 256 (16k points) measured fastest on v5e (17.97 ms
+        # fwd+bwd vs 18.47 at tile 64; tile 512 exceeds VMEM) — fall back to
+        # the largest power-of-two divisor for small ray counts
+        tile = 256
+        while pe.shape[1] % tile:
+            tile //= 2
         feat, bg_alpha, depth = fr.fused_render(
             pe, sp.z_dists, sp.zvals, packed,
             tile, jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 else jnp.float32,
@@ -194,6 +199,16 @@ class HeadNeRF(nn.Module):
         )
         return self._render_maps(comp, B, S)
 
+    @property
+    def _fusedup_ok(self) -> bool:
+        cfg = self.cfg
+        ratio = cfg.pred_img_size // cfg.featmap_size
+        return (
+            self.use_fused_upsampler
+            and cfg.pred_img_size == ratio * cfg.featmap_size
+            and ratio in (2, 4, 8)
+        )
+
     def _render_maps(self, comp, B, S):
         cfg = self.cfg
         fg = comp.features.reshape(B, S, S, cfg.featmap_nc)
@@ -203,6 +218,34 @@ class HeadNeRF(nn.Module):
         # two separate upsampler passes (merge, bg) measure faster on v5e
         # than one batch-2 pass (28.1 vs 25.8 ms/step — the concat blocks
         # XLA from overlapping the bg render with the ray kernel)
+        if self._fusedup_ok and not self.is_initializing():
+            from nerf3dtalker_tpu.models.phase_renderer import (
+                extract_phase_params,
+            )
+            from nerf3dtalker_tpu.ops.pallas.fused_upsampler import (
+                fused_upsampler,
+            )
+
+            n_blocks = cfg.n_upsample_blocks
+            pp = extract_phase_params(
+                self.neural_render.variables["params"], n_blocks
+            )
+            cdt = self.compute_dtype
+
+            def dec(x):
+                return fused_upsampler(
+                    x, pp, n_blocks, compute_dtype=cdt,
+                    interpret=self.fused_interpret,
+                )
+
+            merge_img = dec(merge)
+            bg_img = dec(bg_featmap)
+            return {
+                "merge_img": merge_img,
+                "bg_img": bg_img,
+                "bg_alpha": bg_alpha,
+                "depth": comp.depth.reshape(B, S, S),
+            }
         merge_img = self.neural_render(merge)
         bg_img = self.neural_render(bg_featmap)
         return {

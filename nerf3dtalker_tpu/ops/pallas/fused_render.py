@@ -393,38 +393,13 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
         dzv_ref[...] = (w * g_depth[:, None])[None]
     d_sigma_pre = (d_sigma.reshape(tr * NS) * (sigma_pre > 0)).astype(f32)
 
-    # ---- MLP backward ----
-    # Masks stay in f32: Mosaic on this toolchain cannot feed
-    # comparison-masked *bf16* values into MXU contractions ("Not
-    # implemented: Offset change"); f32-domain masks followed by a cast at
-    # the matmul input lower fine (see memory: axon-tpu-environment).
-    def relu_mask(g_f32, act):
-        return g_f32 * (act.astype(f32) > 0).astype(f32)
-
-    d_sig_pad = jnp.concatenate(
-        [d_sigma_pre[:, None], jnp.zeros((tr * NS, DPAD - 1), f32)], axis=1
-    )
-    d_r1 = mm(d_rgb.astype(dtype), wr2T[...])            # [N, H2] f32
-    d_r1 = relu_mask(d_r1, r1)
-    d_r0 = mm(d_r1.astype(dtype), wr1T[...])             # [N, H] f32
-    g = (
-        mm(d_sig_pad.astype(dtype), wdT[...])
-        + mm(d_r0.astype(dtype), wr0T[...])
-    )
-    g7 = relu_mask(g, xs[7])
-    g6 = relu_mask(mm(g7.astype(dtype), whT[...][5]), xs[6])
-    g5 = relu_mask(mm(g6.astype(dtype), whT[...][4]), xs[5])
-    g4 = relu_mask(mm(g5.astype(dtype), w5xT[...]), xs[4])
-    g3 = relu_mask(mm(g4.astype(dtype), whT[...][3]), xs[3])
-    g2 = relu_mask(mm(g3.astype(dtype), whT[...][2]), xs[2])
-    g1 = relu_mask(mm(g2.astype(dtype), whT[...][1]), xs[1])
-    g0 = relu_mask(mm(g1.astype(dtype), whT[...][0]), xs[0])
-
-    if input_grads:
-        d_pe = mm(g0.astype(dtype), w0pT[...]) + mm(g5.astype(dtype), w5pT[...])
-        dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
-
-    # ---- weight/bias gradient accumulation ----
+    # ---- MLP backward, interleaved with dW accumulation ----
+    # Each gradient activation is consumed by its dW/db update immediately
+    # and dies, so only ~2 of them are ever live — at tile 64 the
+    # all-gs-then-all-dW ordering kept 9 f32 [4096, H] tensors alive
+    # (~57 MB) and blew VMEM. Gradient activations are stored bf16 (they
+    # feed MXU contractions as bf16 anyway; bias colsums still accumulate
+    # f32 on the MXU).
     first = (b_idx == 0) & (t_idx == 0)
     first_t = t_idx == 0
 
@@ -443,22 +418,20 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
         db5[...] = jnp.zeros_like(db5)
         dbr1[...] = jnp.zeros_like(dbr1)
 
-    dw0p[...] += mmT_l(pe, g0)
-    dw5p[...] += mmT_l(pe, g5)
-    dw5x[...] += mmT_l(xs[4], g5)
-    dwd[...] += mmT_l(xs[7], d_sig_pad)
-    dwr0[...] += mmT_l(xs[7], d_r0)
-    dwr1[...] += mmT_l(r0, d_r1)
-    dwr2[...] += mmT_l(r1, d_rgb.astype(dtype))
-    gs = [g1, g2, g3, g4, g6, g7]
-    xin = [xs[0], xs[1], xs[2], xs[3], xs[5], xs[6]]
-    # rank-2 single-row accumulators; bias sums as ones-row matvecs —
-    # Mosaic rejects sublane-axis (axis 0) reductions here
-    ones_row = jnp.ones((1, tr * NS), f32)
+    # Masks are applied in the f32 domain then cast to bf16 once: Mosaic on
+    # this toolchain cannot feed comparison-masked *bf16* values into MXU
+    # contractions ("Not implemented: Offset change"); a cast of the masked
+    # f32 value lowers fine (see memory: axon-tpu-environment).
+    def relu_mask(g_f32, act):
+        return (g_f32 * (act.astype(f32) > 0).astype(f32)).astype(dtype)
+
+    ones_row = jnp.ones((1, tr * NS), dtype)
 
     def colsum(x):
+        # rank-2 single-row accumulators; bias sums as ones-row matvecs —
+        # Mosaic rejects sublane-axis (axis 0) reductions here
         return jax.lax.dot_general(
-            ones_row, x.astype(f32), (((1,), (0,)), ((), ())),
+            ones_row, x.astype(dtype), (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
         )
 
@@ -467,15 +440,52 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
             [x[None], jnp.zeros((1, 7, x.shape[1]), f32)], axis=1
         )
 
-    for i in range(6):
-        dwh_refs[i][...] += mmT_l(xin[i], gs[i])
-        dbh_refs[i][...] += colsum(gs[i])
-    db0[...] += brow(colsum(g0))
-    db5[...] += brow(colsum(g5))
-    dbd[...] += colsum(d_sig_pad)     # col 0 = sum d_sigma_pre, rest 0
-    dbr0[...] += colsum(d_r0)
+    d_sig_pad = jnp.concatenate(
+        [d_sigma_pre[:, None], jnp.zeros((tr * NS, DPAD - 1), f32)], axis=1
+    ).astype(dtype)
+    d_rgb16 = d_rgb.astype(dtype)
+    dwr2[...] += mmT_l(r1, d_rgb16)
+    dbr2[...] += colsum(d_rgb16)
+    d_r1 = relu_mask(mm(d_rgb16, wr2T[...]), r1)         # [N, H2] bf16
+    dwr1[...] += mmT_l(r0, d_r1)
     dbr1[...] += brow(colsum(d_r1))
-    dbr2[...] += colsum(d_rgb)
+    d_r0 = mm(d_r1, wr1T[...]).astype(dtype)             # [N, H] (no relu)
+    dwr0[...] += mmT_l(xs[7], d_r0)
+    dbr0[...] += colsum(d_r0)
+    dwd[...] += mmT_l(xs[7], d_sig_pad)
+    dbd[...] += colsum(d_sig_pad)     # col 0 = sum d_sigma_pre, rest 0
+
+    g7 = relu_mask(
+        mm(d_sig_pad, wdT[...]) + mm(d_r0, wr0T[...]), xs[7]
+    )
+    dwh5[...] += mmT_l(xs[6], g7)
+    dbh5[...] += colsum(g7)
+    g6 = relu_mask(mm(g7, whT[...][5]), xs[6])
+    dwh4[...] += mmT_l(xs[5], g6)
+    dbh4[...] += colsum(g6)
+    g5 = relu_mask(mm(g6, whT[...][4]), xs[5])
+    dw5p[...] += mmT_l(pe, g5)
+    dw5x[...] += mmT_l(xs[4], g5)
+    db5[...] += brow(colsum(g5))
+    g4 = relu_mask(mm(g5, w5xT[...]), xs[4])
+    dwh3[...] += mmT_l(xs[3], g4)
+    dbh3[...] += colsum(g4)
+    g3 = relu_mask(mm(g4, whT[...][3]), xs[3])
+    dwh2[...] += mmT_l(xs[2], g3)
+    dbh2[...] += colsum(g3)
+    g2 = relu_mask(mm(g3, whT[...][2]), xs[2])
+    dwh1[...] += mmT_l(xs[1], g2)
+    dbh1[...] += colsum(g2)
+    g1 = relu_mask(mm(g2, whT[...][1]), xs[1])
+    dwh0[...] += mmT_l(xs[0], g1)
+    dbh0[...] += colsum(g1)
+    g0 = relu_mask(mm(g1, whT[...][0]), xs[0])
+    dw0p[...] += mmT_l(pe, g0)
+    db0[...] += brow(colsum(g0))
+
+    if input_grads:
+        d_pe = mm(g0, w0pT[...]) + mm(g5, w5pT[...])
+        dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
 
 
 @functools.partial(
@@ -680,9 +690,9 @@ def _fused_render_f(pe, zd, zv, weights, tile_rays, compute_dtype, interpret,
 def _fused_render_b(tile_rays, compute_dtype, interpret, input_grads, res, g):
     pe, zd, zv, weights = res
     g_feat, g_bg, g_depth = g
-    bwd_tile = min(tile_rays, 32)   # tile 32 measured fastest on v5e
-    # (18.9 ms kernel fwd+bwd at Reso64 vs 25+ at tile 16); tile 64 fails to
-    # compile — activations + f32 weight-grad accumulators exceed VMEM
+    bwd_tile = min(tile_rays, 64)   # tile 64 measured fastest on v5e with
+    # the interleaved-dW kernel (18.0 ms fwd+bwd at Reso64 paired with fwd
+    # tile 256); tile 128 exceeds VMEM (stashed activations alone = 48 MB)
     return fused_render_bwd(
         pe, zd, zv, weights, g_feat, g_bg, g_depth,
         tile_rays=bwd_tile, compute_dtype=compute_dtype, interpret=interpret,
