@@ -39,7 +39,9 @@ import numpy as np
 
 
 def leaky_relu(x, slope=0.2):
-    return jnp.where(x >= 0, x, slope * x)
+    # comparison in f32: Mosaic on this toolchain rejects bf16 cmpf
+    # ("Target does not support this comparison")
+    return jnp.where(x.astype(jnp.float32) >= 0, x, slope * x)
 
 
 # --------------------------------------------------------------- constants

@@ -75,4 +75,27 @@ def build_stage2_step(
             metrics,
         )
 
-    return init, train_step
+    def predict(params, audio_feats, onehot, T: int):
+        """Autoregressive inference (reference stage2.py:102-140).
+
+        The reference re-decodes the growing motion prefix each frame; the
+        TPU-native form keeps shapes static: a fori_loop over frames runs
+        the teacher-forced forward on a zero-padded motion buffer — the
+        causal mask plus the one-frame input shift make row t depend only
+        on frames < t, so writing frame t back into the buffer reproduces
+        the autoregressive recurrence exactly.
+        """
+        B = audio_feats.shape[0]
+        Q = cfg.face_quan_num
+
+        def body(t, buf):
+            codes = model.apply(params, audio_feats, buf, onehot)
+            quantized, _ = vq_apply["quantize"](codes)
+            recon = vq_apply["decode"](quantized)      # [B, T, V3]
+            frame = jax.lax.dynamic_slice_in_dim(recon, t, 1, axis=1)
+            return jax.lax.dynamic_update_slice_in_dim(buf, frame, t, axis=1)
+
+        buf = jnp.zeros((B, T, vertice_dim), audio_feats.dtype)
+        return jax.lax.fori_loop(0, T, body, buf)
+
+    return init, train_step, predict

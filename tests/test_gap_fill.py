@@ -106,8 +106,9 @@ def test_stage2_trainer_descends():
         return z @ W.T / (W.shape[1] / 16)
 
     vq_apply = {"get_gt_quant": get_gt_quant, "quantize": quantize, "decode": decode}
-    init, step = build_stage2_step(cfg, vq_apply, vertice_dim=V3, lr=1e-3,
-                                   feature_dim=16, n_subjects=2)
+    init, step, predict = build_stage2_step(cfg, vq_apply, vertice_dim=V3,
+                                            lr=1e-3, feature_dim=16,
+                                            n_subjects=2)
     rng = np.random.default_rng(1)
     batch = {
         "audio_feats": jnp.asarray(rng.standard_normal((1, 20, 768)).astype(np.float32)),
@@ -119,6 +120,19 @@ def test_stage2_trainer_descends():
     for _ in range(15):
         state, m = step(state, batch)
     assert float(m["total_loss"]) < float(m0["total_loss"])
+
+    # autoregressive predict: fixed-shape loop, finite, and causal — frame t
+    # must not depend on buffer contents at frames >= t (checked by the
+    # fixed-point property: teacher-forcing on the prediction reproduces it)
+    import numpy as _np
+    out = predict(state.params, batch["audio_feats"], batch["onehot"], 6)
+    assert out.shape == (1, 6, V3) and _np.isfinite(_np.asarray(out)).all()
+    from nerf3dtalker_tpu.models.vq.stage2 import CodeTalker
+    model = CodeTalker(cfg, feature_dim=16, n_subjects=2, vertice_dim=V3)
+    codes = model.apply(state.params, batch["audio_feats"], out, batch["onehot"])
+    recon = vq_apply["decode"](vq_apply["quantize"](codes)[0])
+    _np.testing.assert_allclose(
+        _np.asarray(recon), _np.asarray(out), rtol=2e-4, atol=2e-5)
 
 
 def test_crop_and_extract():
