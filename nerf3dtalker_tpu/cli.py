@@ -107,7 +107,163 @@ def cmd_train_vq(args):
 
 
 def cmd_fit(args):
-    print("fit: supply --ckpt, --image, --mask, --pkl (see train/fitting.py)")
+    """Single-image latent/camera fitting (FittingSingleImage_new.py:620-903):
+    300 Adam iterations over code offsets + camera deltas against one target
+    image. --data: npz with image [H,W,3] (+ optional mask, iden/expr/text/
+    illu base codes); without it, fits against a synthetic target (smoke)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import NeRFConfig
+    from nerf3dtalker_tpu.models import HeadNeRF
+    from nerf3dtalker_tpu.train.fitting import fit_single_image
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+
+    cfg = NeRFConfig(featmap_size=args.featmap_size, pred_img_size=args.img_size)
+    model = HeadNeRF(cfg)
+    cam = base_cam(cfg.featmap_size)
+    S = cfg.pred_img_size
+    zero = lambda d: np.zeros((1, d), np.float32)
+    base_codes = {
+        "iden": zero(cfg.iden_code_dims), "expr": zero(cfg.expr_code_dims),
+        "text": zero(cfg.text_code_dims), "illu": zero(cfg.illu_code_dims),
+    }
+    if args.data:
+        z = dict(np.load(args.data))
+        gt = z["image"].astype(np.float32)[None]
+        mask = z.get("mask", np.ones((S, S, 1), np.float32))[None]
+        for k in base_codes:
+            if k in z:
+                base_codes[k] = z[k].reshape(1, -1).astype(np.float32)
+    else:
+        print("no --data; fitting a synthetic target (smoke mode)")
+        rng = np.random.default_rng(args.seed)
+        gt = rng.uniform(0, 1, (1, S, S, 3)).astype(np.float32)
+        mask = np.ones((1, S, S, 1), np.float32)
+
+    xy, _ = ray_grid(cfg.featmap_size)
+    aud = np.zeros((1, 64), np.float32)
+    params = model.init(
+        jax.random.key(args.seed), batch_xy=jnp.asarray(xy),
+        shape_code=jnp.asarray(np.concatenate(
+            [base_codes["iden"], base_codes["expr"]], -1)),
+        appea_code=jnp.asarray(np.concatenate(
+            [base_codes["text"], base_codes["illu"]], -1)),
+        audio_style=jnp.asarray(aud), Rmat=jnp.asarray(cam.Rmat),
+        Tvec=jnp.asarray(cam.Tvec), inv_inmat=jnp.asarray(cam.inv_inmat),
+    )
+    if args.ckpt:
+        from nerf3dtalker_tpu.utils.checkpoints import restore_checkpoint
+
+        state, _ = restore_checkpoint(args.ckpt, None)
+        p = state["params"]["nerf"] if "params" in state else state
+        from nerf3dtalker_tpu.utils.checkpoints import soft_load
+
+        params = soft_load(params, p)
+    cam_d = {
+        "Rmat": jnp.asarray(cam.Rmat), "Tvec": jnp.asarray(cam.Tvec),
+        "inv_inmat": jnp.asarray(cam.inv_inmat),
+    }
+    codes = {k: jnp.asarray(v) for k, v in base_codes.items()}
+    fit, losses = fit_single_image(
+        model, params, jnp.asarray(gt), jnp.asarray(mask), codes, cam_d,
+        jnp.asarray(aud), iters=args.iters, opt_cam=not args.no_cam_opt,
+    )
+    out = args.out or "fitted.npz"
+    np.savez(
+        out,
+        iden_offset=np.asarray(fit.iden_offset),
+        expr_offset=np.asarray(fit.expr_offset),
+        appea_offset=np.asarray(fit.appea_offset),
+        delta_euler=np.asarray(fit.delta_euler),
+        delta_tvec=np.asarray(fit.delta_tvec),
+        **{k: np.asarray(v) for k, v in base_codes.items()},
+    )
+    print(json.dumps({"out": out, **{k: round(v, 5) for k, v in losses.items()}}))
+
+
+def cmd_animate(args):
+    """End-to-end talking-head synthesis: wav -> per-frame mel chunks ->
+    Audio2Style -> batched HeadNeRF re-render -> mp4 (the reference's
+    FittingSingleImage_new re-render loop + videoio mux)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import NeRFConfig
+    from nerf3dtalker_tpu.data.mel import per_frame_mel_chunks
+    from nerf3dtalker_tpu.models import HeadNeRF
+    from nerf3dtalker_tpu.models.audio import Audio2Style
+    from nerf3dtalker_tpu.train.animate import animate_sequence
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+
+    import wave
+
+    with wave.open(args.wav, "rb") as f:
+        pcm = np.frombuffer(
+            f.readframes(f.getnframes()), np.int16
+        ).astype(np.float32) / 32768.0
+        sr = f.getframerate()
+    mels = per_frame_mel_chunks(pcm, sr=sr, fps=args.fps)
+    if args.max_frames:
+        mels = mels[: args.max_frames]
+    T = len(mels)
+
+    cfg = NeRFConfig(featmap_size=args.featmap_size, pred_img_size=args.img_size)
+    on_tpu = jax.default_backend() not in ("cpu",)
+    model = HeadNeRF(
+        cfg, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        use_fused=on_tpu, fused_input_grads=False,
+    )
+    cam = base_cam(cfg.featmap_size)
+    xy, _ = ray_grid(cfg.featmap_size)
+
+    shape = np.zeros((1, cfg.shape_code_dims), np.float32)
+    appea = np.zeros((1, cfg.appea_code_dims), np.float32)
+    if args.latents:
+        z = dict(np.load(args.latents))
+        iden = z["iden"] + z.get("iden_offset", 0.0)
+        expr = z["expr"] + z.get("expr_offset", 0.0)
+        shape = np.concatenate([iden, expr], -1).astype(np.float32)
+        appea = (np.concatenate([z["text"], z["illu"]], -1)
+                 + z.get("appea_offset", 0.0)).astype(np.float32)
+
+    a2s = Audio2Style()
+    a2s_params = a2s.init(jax.random.key(1), jnp.zeros((1, 80, 16)))
+    nerf_params = model.init(
+        jax.random.key(args.seed), batch_xy=jnp.asarray(xy),
+        shape_code=jnp.asarray(shape), appea_code=jnp.asarray(appea),
+        audio_style=jnp.zeros((1, 64)), Rmat=jnp.asarray(cam.Rmat),
+        Tvec=jnp.asarray(cam.Tvec), inv_inmat=jnp.asarray(cam.inv_inmat),
+    )
+    if args.ckpt:
+        from nerf3dtalker_tpu.utils.checkpoints import (
+            restore_checkpoint,
+            soft_load,
+        )
+
+        state, _ = restore_checkpoint(args.ckpt, None)
+        p = state["params"] if "params" in state else state
+        if "nerf" in p:
+            nerf_params = soft_load(nerf_params, p["nerf"])
+            a2s_params = soft_load(a2s_params, p["audio"])
+        else:
+            nerf_params = soft_load(nerf_params, p)
+
+    styles = np.asarray(a2s.apply(a2s_params, jnp.asarray(mels)), np.float32)
+    cam_d = {"Rmat": cam.Rmat, "Tvec": cam.Tvec, "inv_inmat": cam.inv_inmat}
+    frames = animate_sequence(
+        model, nerf_params, shape, appea, styles, cam_d, chunk=args.chunk
+    )
+    out = args.out or "talking_head.mp4"
+    if out.endswith(".npy"):
+        np.save(out, frames)
+    else:
+        from nerf3dtalker_tpu.utils.video import write_video
+
+        write_video(frames, out, fps=args.fps, audio_path=args.wav)
+    print(json.dumps({"frames": T, "size": list(frames.shape[1:3]), "out": out}))
 
 
 def cmd_render(args):
@@ -250,7 +406,23 @@ def main(argv=None):
 
     pf = sub.add_parser("fit")
     _add_common(pf)
+    pf.add_argument("--data", help="npz: image [H,W,3] (+mask, base codes)")
+    pf.add_argument("--ckpt", help="orbax checkpoint dir (trained NeRF)")
+    pf.add_argument("--iters", type=int, default=300)
+    pf.add_argument("--no-cam-opt", action="store_true")
+    pf.add_argument("--out")
     pf.set_defaults(fn=cmd_fit)
+
+    pa = sub.add_parser("animate")
+    _add_common(pa)
+    pa.add_argument("--wav", required=True)
+    pa.add_argument("--latents", help="fitted.npz from `fit`")
+    pa.add_argument("--ckpt", help="orbax checkpoint dir (trained NeRF+A2S)")
+    pa.add_argument("--fps", type=int, default=25)
+    pa.add_argument("--chunk", type=int, default=4)
+    pa.add_argument("--max-frames", type=int, default=0)
+    pa.add_argument("--out", help=".mp4 (ffmpeg) or .npy")
+    pa.set_defaults(fn=cmd_animate)
 
     pr = sub.add_parser("render")
     _add_common(pr)

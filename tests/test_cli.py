@@ -36,3 +36,33 @@ def test_preprocess_subject_npz(tmp_path):
     ])
     z = np.load(out)
     assert "mels" in z and "head_mask" in z
+
+
+def test_animate_end_to_end(tmp_path):
+    """wav -> Audio2Style -> batched HeadNeRF render -> frame stack
+    (FittingSingleImage_new.py re-render loop, videoio mux skipped)."""
+    from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+
+    wav = synthesize_placeholder("animate me", path=str(tmp_path / "a.wav"))
+    out = tmp_path / "anim.npy"
+    main([
+        "animate", "--wav", wav, "--featmap-size", "8", "--img-size", "32",
+        "--max-frames", "5", "--chunk", "2", "--out", str(out),
+    ])
+    frames = np.load(out)
+    assert frames.shape == (5, 32, 32, 3)
+    assert np.isfinite(frames).all()
+    assert frames.min() >= 0.0 and frames.max() <= 1.0
+
+
+def test_fit_smoke(tmp_path):
+    """Single-image fitting driver (FittingSingleImage_new.py:620-903)."""
+    out = tmp_path / "fitted.npz"
+    main([
+        "fit", "--featmap-size", "8", "--img-size", "32",
+        "--iters", "3", "--out", str(out),
+    ])
+    z = np.load(out)
+    assert z["iden_offset"].shape == (1, 100)
+    assert z["expr_offset"].shape == (1, 79)
+    assert np.isfinite(z["appea_offset"]).all()
