@@ -51,18 +51,29 @@ class HeadNeRF(nn.Module):
     # Route the NeuralRenderer decoder through the fused phase-stacked
     # Pallas kernels (ops/pallas/fused_upsampler.py).
     use_fused_upsampler: bool = False
+    # Device mesh for the SPMD fused path (fused_render_spmd: shard_map
+    # over (data, rays) with psum'd weight grads). None = single device.
+    fused_mesh: object = None
 
     @property
     def _fused_ok(self) -> bool:
+        cfg = self.cfg
+        if (
+            not self.use_fused
+            or cfg.include_vd
+            or cfg.hier_sampling
+            or cfg.include_gaze
+        ):
+            return False
+        if self.fused_interpret:
+            # the kernels derive all dims from the input shapes, so any
+            # config runs under the interpreter (CPU tests / dryrun)
+            return True
         from nerf3dtalker_tpu.ops.pallas import fused_render as fr
 
-        cfg = self.cfg
+        # compiled Mosaic path: require the lane-aligned flagship dims
         return (
-            self.use_fused
-            and not cfg.include_vd
-            and not cfg.hier_sampling
-            and not cfg.include_gaze
-            and cfg.mlp_hidden == fr.H
+            cfg.mlp_hidden == fr.H
             and cfg.featmap_nc == fr.FEAT
             and cfg.num_sample_coarse == fr.NS
             and cfg.vp_n_freqs * 6 + 3 == 63
@@ -176,24 +187,37 @@ class HeadNeRF(nn.Module):
         # matmul-form PE writes straight into the kernel's [N, PE_PAD]
         # layout; sp.pts (lane-hostile [..., 3]) is never materialized —
         # XLA dead-code-eliminates it
+        pe_live = cfg.vp_pe_dims
+        pe_pad = max(fr.PE_PAD, -(-pe_live // 8) * 8) if pe_live >= 63 \
+            else -(-pe_live // 8) * 8
         pe = positional_encoding_rays(
             rays.origins, rays.directions, rays.lengths, sp.zvals,
-            cfg.vp_n_freqs, cfg.vp_include_input, pad_to=fr.PE_PAD,
+            cfg.vp_n_freqs, cfg.vp_include_input, pad_to=pe_pad,
         )
         packed = fr.pack_weights(
             self.mlp.variables["params"], shape_code, appea_code, audio_style
         )
+        cdt = (jnp.bfloat16 if self.compute_dtype == jnp.bfloat16
+               else jnp.float32)
         # fwd ray-tile 256 (16k points) measured fastest on v5e (17.97 ms
         # fwd+bwd vs 18.47 at tile 64; tile 512 exceeds VMEM) — fall back to
         # the largest power-of-two divisor for small ray counts
-        tile = 256
-        while pe.shape[1] % tile:
-            tile //= 2
-        feat, bg_alpha, depth = fr.fused_render(
-            pe, sp.z_dists, sp.zvals, packed,
-            tile, jnp.bfloat16 if self.compute_dtype == jnp.bfloat16 else jnp.float32,
-            self.fused_interpret, self.fused_input_grads,
-        )
+        if self.fused_mesh is not None:
+            # multi-chip: shard_map over (data, rays); local tiles are
+            # derived inside from the per-shard ray count
+            feat, bg_alpha, depth = fr.fused_render_spmd(
+                pe, sp.z_dists, sp.zvals, packed, self.fused_mesh,
+                ("data", "rays"), 256, cdt,
+                self.fused_interpret, self.fused_input_grads,
+            )
+        else:
+            tile = 256
+            while pe.shape[1] % tile:
+                tile //= 2
+            feat, bg_alpha, depth = fr.fused_render(
+                pe, sp.z_dists, sp.zvals, packed,
+                tile, cdt, self.fused_interpret, self.fused_input_grads,
+            )
         comp = CompositeResult(
             features=feat, bg_alpha=bg_alpha, depth=depth, weights=None
         )

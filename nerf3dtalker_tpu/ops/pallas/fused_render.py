@@ -37,6 +37,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# Flagship (Reso32/64) dimensions. The kernels below derive every dim from
+# the input/weight shapes, so non-flagship sizes work too (used by the tiny
+# interpret-mode configs in tests and dryrun_multichip); on real TPU the
+# flagship dims are the lane-aligned ones Mosaic is tuned for.
 H = 384          # mlp hidden (HeadNeRFOptions.py:25)
 H2 = 192         # rgb_1 out (h // 2)
 PE_PAD = 64      # 63-d PE padded to lane-friendly 64
@@ -74,11 +78,12 @@ def _mlp_tile(pe, w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
 def _exclusive_cumprod(t):
     """Exact exclusive cumulative product along the last (NS) axis via
     log2(NS) shift-multiply doubling steps — no scan, no log-space loss."""
+    ns = t.shape[-1]
     ones = jnp.ones_like(t[..., :1])
     # shift right by 1 (exclusive), then inclusive scan by doubling
     t = jnp.concatenate([ones, t[..., :-1]], axis=-1)
     shift = 1
-    while shift < NS:
+    while shift < ns:
         pad = jnp.ones_like(t[..., :shift])
         t = t * jnp.concatenate([pad, t[..., :-shift]], axis=-1)
         shift *= 2
@@ -88,11 +93,12 @@ def _exclusive_cumprod(t):
 def _composite_tile(rgb, sigma, z_dists, zvals, tr, ltri):
     """rgb [TR*NS, FEAT], sigma [TR*NS] -> feat [TR, FEAT], aux."""
     del ltri  # retained in the signature for ABI stability
-    sigma = sigma.reshape(tr, NS)
+    ns = z_dists.shape[-1]
+    sigma = sigma.reshape(tr, ns)
     alpha = 1.0 - jnp.exp(-sigma * z_dists)
     trans = _exclusive_cumprod(1.0 - alpha + 1e-10)
     w = alpha * trans                                        # [TR, NS]
-    feat = jnp.sum(rgb.reshape(tr, NS, FEAT) * w[:, :, None], axis=1)
+    feat = jnp.sum(rgb.reshape(tr, ns, -1) * w[:, :, None], axis=1)
     acc = jnp.sum(w, axis=-1)
     depth = jnp.sum(w * zvals, axis=-1)
     return feat, 1.0 - acc, depth, w
@@ -102,7 +108,9 @@ def _fwd_kernel(pe_ref, zd_ref, zv_ref,
                 w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
                 b0, bh, b5, bd, br0, br1, br2, ltri,
                 feat_ref, aux_ref, *, tr, dtype):
-    pe = pe_ref[...].reshape(tr * NS, PE_PAD)
+    ns, pe_pad = pe_ref.shape[-2], pe_ref.shape[-1]
+    dpad = aux_ref.shape[-1]
+    pe = pe_ref[...].reshape(tr * ns, pe_pad)
     rgb, sigma = _mlp_tile(
         pe, w0p[...], wh[...], w5p[...], w5x[...], wd[...], wr0[...],
         wr1[...], wr2[...],
@@ -116,14 +124,14 @@ def _fwd_kernel(pe_ref, zd_ref, zv_ref,
     # column-packed aux (Pallas TPU has no scatter; build by concat)
     aux = jnp.concatenate(
         [bg_alpha[:, None], depth[:, None],
-         jnp.zeros((tr, DPAD - 2), jnp.float32)],
+         jnp.zeros((tr, dpad - 2), jnp.float32)],
         axis=1,
     )
     aux_ref[...] = aux[None]
 
 
-def _strict_lower_tri():
-    return np.tril(np.ones((NS, NS), np.float32), k=-1)
+def _strict_lower_tri(ns=NS):
+    return np.tril(np.ones((ns, ns), np.float32), k=-1)
 
 
 def _sublane8(arr: jnp.ndarray) -> jnp.ndarray:
@@ -144,12 +152,15 @@ def fused_render_fwd(
     interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns (features [B, R, FEAT], bg_alpha [B, R], depth [B, R])."""
-    B, R = pe.shape[0], pe.shape[1]
+    B, R, ns, pe_pad = pe.shape
+    feat_nc = weights["wr2"].shape[-1]
+    dpad = weights["wd"].shape[-1]
+    hidden, h2 = weights["wh"].shape[-1], weights["wr1"].shape[-1]
     assert R % tile_rays == 0, (R, tile_rays)
     n_tiles = R // tile_rays
     cdt = compute_dtype
 
-    ltri = jnp.asarray(_strict_lower_tri())
+    ltri = jnp.asarray(_strict_lower_tri(ns))
 
     def ray_block(shape):
         return pl.BlockSpec(
@@ -184,7 +195,7 @@ def fused_render_fwd(
         b0_8, b["bh"], b5_8, bd, b["br0"], br1_8, b["br2"], ltri,
     )
     in_specs = (
-        [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,))]
+        [ray_block((ns, pe_pad)), ray_block((ns,)), ray_block((ns,))]
         + [const_block(a) for a in args[3:11]]
         + [bbatch_block(b0_8), const_block(b["bh"]), bbatch_block(b5_8),
            const_block(bd), const_block(b["br0"]), bbatch_block(br1_8),
@@ -195,20 +206,21 @@ def fused_render_fwd(
         functools.partial(_fwd_kernel, tr=tile_rays, dtype=cdt),
         grid=(B, n_tiles),
         in_specs=in_specs,
-        out_specs=[ray_block((FEAT,)), ray_block((DPAD,))],
+        out_specs=[ray_block((feat_nc,)), ray_block((dpad,))],
         out_shape=[
-            jax.ShapeDtypeStruct((B, R, FEAT), jnp.float32),
-            jax.ShapeDtypeStruct((B, R, DPAD), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, feat_nc), jnp.float32),
+            jax.ShapeDtypeStruct((B, R, dpad), jnp.float32),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * R * NS * (PE_PAD * H + 7 * H * H + PE_PAD * H
-                                    + H * H2 + H2 * FEAT + H * DPAD),
-            bytes_accessed=B * R * NS * PE_PAD * 4 + B * R * FEAT * 4,
-            transcendentals=B * R * NS,
+            flops=2 * B * R * ns * (pe_pad * hidden + 7 * hidden * hidden
+                                    + pe_pad * hidden + hidden * h2
+                                    + h2 * feat_nc + hidden * dpad),
+            bytes_accessed=B * R * ns * pe_pad * 4 + B * R * feat_nc * 4,
+            transcendentals=B * R * ns,
         ),
     )(*args)
     return feat, aux[..., 0], aux[..., 1]
@@ -216,24 +228,31 @@ def fused_render_fwd(
 
 def pack_weights(mlp_params: dict, shape_code, appea_code, audio_style) -> dict:
     """Fold the reference-layout NeRFMLP params (models/nerf_mlp.py) plus
-    the per-batch [B, ...] conditioning codes into the kernel layout."""
+    the per-batch [B, ...] conditioning codes into the kernel layout.
+
+    The live PE width is derived from the fea_0 kernel (rows = PE + shape
+    [+gaze] + audio) and padded up to a sublane-friendly multiple of 8 —
+    64 for the flagship's 63-d PE."""
     p = mlp_params
-    P_LIVE = 63
+    S = shape_code.shape[-1]
+    A = audio_style.shape[-1]
+    P_LIVE = p["fea_0_kernel"].shape[0] - S - A
+    pe_pad = max(PE_PAD, -(-P_LIVE // 8) * 8) if P_LIVE >= 63 else -(-P_LIVE // 8) * 8
 
     def pad_pe_rows(k):
-        return jnp.pad(k, ((0, PE_PAD - P_LIVE), (0, 0)))
+        return jnp.pad(k, ((0, pe_pad - P_LIVE), (0, 0)))
 
     k0 = p["fea_0_kernel"]          # [63+179+64, H]
-    S = shape_code.shape[-1]
     b0 = (
         shape_code @ k0[P_LIVE : P_LIVE + S]
         + audio_style @ k0[P_LIVE + S :]
         + p["fea_0_bias"]
     )                               # [B, H]
+    hidden = p["fea_1_kernel"].shape[0]
     k5 = p["fea_5_kernel"]          # [63+179+H, H]
     b5 = shape_code @ k5[P_LIVE : P_LIVE + S] + p["fea_5_bias"]
     kr1 = p["rgb_1_kernel"]         # [H+127, H2]
-    br1 = appea_code @ kr1[H:] + p["rgb_1_bias"]
+    br1 = appea_code @ kr1[hidden:] + p["rgb_1_bias"]
 
     wh = jnp.stack([p[f"fea_{i}_kernel"] for i in (1, 2, 3, 4, 6, 7)])
     bh = jnp.stack([p[f"fea_{i}_bias"] for i in (1, 2, 3, 4, 6, 7)])
@@ -245,7 +264,7 @@ def pack_weights(mlp_params: dict, shape_code, appea_code, audio_style) -> dict:
         "w5x": k5[P_LIVE + S :],
         "wd": jnp.pad(p["density_kernel"], ((0, 0), (0, DPAD - 1))),
         "wr0": p["rgb_0_kernel"],
-        "wr1": kr1[:H],
+        "wr1": kr1[:hidden],
         "wr2": p["rgb_2_kernel"],
         "b0": b0,
         "bh": bh,
@@ -260,13 +279,13 @@ def pack_weights(mlp_params: dict, shape_code, appea_code, audio_style) -> dict:
 def reference_render(pe, z_dists, zvals, weights, compute_dtype=jnp.float32):
     """Pure-jnp oracle with identical math (parity tests + the recompute
     path of the custom_vjp backward). Shapes as fused_render_fwd."""
-    B, R = pe.shape[0], pe.shape[1]
+    B, R, ns, pe_pad = pe.shape
     w = {k: (v.astype(compute_dtype) if k.startswith("w") else v)
          for k, v in weights.items()}
-    ltri = jnp.asarray(_strict_lower_tri())
+    ltri = jnp.asarray(_strict_lower_tri(ns))
 
     def one(pe_b, zd_b, zv_b, b0, b5, br1):
-        flat = pe_b.reshape(R * NS, PE_PAD)
+        flat = pe_b.reshape(R * ns, pe_pad)
         rgb, sigma = _mlp_tile(
             flat, w["w0p"], w["wh"], w["w5p"], w["w5x"], w["wd"], w["wr0"],
             w["wr1"], w["wr2"],
@@ -351,7 +370,9 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
             preferred_element_type=f32,
         )
 
-    pe_in = pe_ref[...].reshape(tr * NS, PE_PAD)
+    ns, pe_pad = pe_ref.shape[-2], pe_ref.shape[-1]
+    dpad = wd.shape[-1]
+    pe_in = pe_ref[...].reshape(tr * ns, pe_pad)
     pe, xs, sigma_pre, sigma, r0, r1, rgb = _mlp_tile_fwd_stash(
         pe_in, w0p[...], wh[...], w5p[...], w5x[...], wd[...], wr0[...],
         wr1[...], wr2[...],
@@ -362,7 +383,7 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     zv = zv_ref[...][0]
 
     # ---- composite fwd (for weights) + bwd ----
-    sig = sigma.reshape(tr, NS)
+    sig = sigma.reshape(tr, ns)
     alpha = 1.0 - jnp.exp(-sig * zd)
     t = 1.0 - alpha + 1e-10
     T = _exclusive_cumprod(t)
@@ -373,8 +394,8 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     g_bg = gaux[:, 0]
     g_depth = gaux[:, 1]
 
-    rgb3 = rgb.reshape(tr, NS, FEAT)
-    d_rgb = (w[:, :, None] * g_feat[:, None, :]).reshape(tr * NS, FEAT)
+    rgb3 = rgb.reshape(tr, ns, -1)
+    d_rgb = (w[:, :, None] * g_feat[:, None, :]).reshape(tr * ns, -1)
     d_w = (
         jnp.sum(rgb3 * g_feat[:, None, :], axis=-1)
         + zv * g_depth[:, None]
@@ -391,7 +412,7 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     if input_grads:
         dzd_ref[...] = (d_alpha * sig * one_m_a)[None]
         dzv_ref[...] = (w * g_depth[:, None])[None]
-    d_sigma_pre = (d_sigma.reshape(tr * NS) * (sigma_pre > 0)).astype(f32)
+    d_sigma_pre = (d_sigma.reshape(tr * ns) * (sigma_pre > 0)).astype(f32)
 
     # ---- MLP backward, interleaved with dW accumulation ----
     # Each gradient activation is consumed by its dW/db update immediately
@@ -425,7 +446,7 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
     def relu_mask(g_f32, act):
         return (g_f32 * (act.astype(f32) > 0).astype(f32)).astype(dtype)
 
-    ones_row = jnp.ones((1, tr * NS), dtype)
+    ones_row = jnp.ones((1, tr * ns), dtype)
 
     def colsum(x):
         # rank-2 single-row accumulators; bias sums as ones-row matvecs —
@@ -441,7 +462,7 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
         )
 
     d_sig_pad = jnp.concatenate(
-        [d_sigma_pre[:, None], jnp.zeros((tr * NS, DPAD - 1), f32)], axis=1
+        [d_sigma_pre[:, None], jnp.zeros((tr * ns, dpad - 1), f32)], axis=1
     ).astype(dtype)
     d_rgb16 = d_rgb.astype(dtype)
     dwr2[...] += mmT_l(r1, d_rgb16)
@@ -485,7 +506,7 @@ def _bwd_kernel(pe_ref, zd_ref, zv_ref, gf_ref, gaux_ref,
 
     if input_grads:
         d_pe = mm(g0, w0pT[...]) + mm(g5, w5pT[...])
-        dpe_ref[...] = d_pe.reshape(1, tr, NS, PE_PAD)
+        dpe_ref[...] = d_pe.reshape(1, tr, ns, pe_pad)
 
 
 @functools.partial(
@@ -505,16 +526,19 @@ def fused_render_bwd(
     dead-code-eliminated by XLA, so keeping them costs ~270 MB of HBM
     writes + two [N,H]x[H,PE_PAD] matmuls per step for nothing. The
     fitting drivers (camera/code optimization) use input_grads=True."""
-    B, R = pe.shape[0], pe.shape[1]
+    B, R, ns, pe_pad = pe.shape
+    hidden, h2 = weights["wh"].shape[-1], weights["wr1"].shape[-1]
+    feat_nc = weights["wr2"].shape[-1]
+    dpad = weights["wd"].shape[-1]
     assert R % tile_rays == 0
     n_tiles = R // tile_rays
     cdt = compute_dtype
     f32 = jnp.float32
 
-    ltri = jnp.asarray(_strict_lower_tri())
+    ltri = jnp.asarray(_strict_lower_tri(ns))
     gaux = jnp.concatenate(
         [g_bg[..., None], g_depth[..., None],
-         jnp.zeros(g_bg.shape + (DPAD - 2,), f32)], axis=-1,
+         jnp.zeros(g_bg.shape + (dpad - 2,), f32)], axis=-1,
     )
 
     def ray_block(shape):
@@ -555,8 +579,8 @@ def fused_render_bwd(
         b0_8, b["bh"], b5_8, bd, b["br0"], br1_8, b["br2"], ltri,
     )
     in_specs = (
-        [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,)),
-         ray_block((FEAT,)), ray_block((DPAD,))]
+        [ray_block((ns, pe_pad)), ray_block((ns,)), ray_block((ns,)),
+         ray_block((feat_nc,)), ray_block((dpad,))]
         + [const_block(a) for a in args[5:21]]
         + [bbatch_block(b0_8), const_block(b["bh"]), bbatch_block(b5_8),
            const_block(bd), const_block(b["br0"]), bbatch_block(br1_8),
@@ -575,41 +599,43 @@ def fused_render_bwd(
         )
 
     ray_outs = [
-        jax.ShapeDtypeStruct((B, R, NS, PE_PAD), f32),   # d_pe
-        jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zd
-        jax.ShapeDtypeStruct((B, R, NS), f32),           # d_zv
+        jax.ShapeDtypeStruct((B, R, ns, pe_pad), f32),   # d_pe
+        jax.ShapeDtypeStruct((B, R, ns), f32),           # d_zd
+        jax.ShapeDtypeStruct((B, R, ns), f32),           # d_zv
     ] if input_grads else []
     out_shape = ray_outs + [
-        jax.ShapeDtypeStruct((PE_PAD, H), f32),          # dw0p
-    ] + [jax.ShapeDtypeStruct((H, H), f32)] * 6 + [      # dwh0..5
-        jax.ShapeDtypeStruct((PE_PAD, H), f32),          # dw5p
-        jax.ShapeDtypeStruct((H, H), f32),               # dw5x
-        jax.ShapeDtypeStruct((H, DPAD), f32),            # dwd
-        jax.ShapeDtypeStruct((H, H), f32),               # dwr0
-        jax.ShapeDtypeStruct((H, H2), f32),              # dwr1
-        jax.ShapeDtypeStruct((H2, FEAT), f32),           # dwr2
-        jax.ShapeDtypeStruct((B, 8, H), f32),            # db0 (row 0 live)
-    ] + [jax.ShapeDtypeStruct((1, H), f32)] * 6 + [      # dbh0..5
-        jax.ShapeDtypeStruct((B, 8, H), f32),            # db5 (row 0 live)
-        jax.ShapeDtypeStruct((1, DPAD), f32),            # dbd (col 0)
-        jax.ShapeDtypeStruct((1, H), f32),               # dbr0
-        jax.ShapeDtypeStruct((B, 8, H2), f32),           # dbr1 (row 0 live)
-        jax.ShapeDtypeStruct((1, FEAT), f32),            # dbr2
+        jax.ShapeDtypeStruct((pe_pad, hidden), f32),     # dw0p
+    ] + [jax.ShapeDtypeStruct((hidden, hidden), f32)] * 6 + [  # dwh0..5
+        jax.ShapeDtypeStruct((pe_pad, hidden), f32),     # dw5p
+        jax.ShapeDtypeStruct((hidden, hidden), f32),     # dw5x
+        jax.ShapeDtypeStruct((hidden, dpad), f32),       # dwd
+        jax.ShapeDtypeStruct((hidden, hidden), f32),     # dwr0
+        jax.ShapeDtypeStruct((hidden, h2), f32),         # dwr1
+        jax.ShapeDtypeStruct((h2, feat_nc), f32),        # dwr2
+        jax.ShapeDtypeStruct((B, 8, hidden), f32),       # db0 (row 0 live)
+    ] + [jax.ShapeDtypeStruct((1, hidden), f32)] * 6 + [  # dbh0..5
+        jax.ShapeDtypeStruct((B, 8, hidden), f32),       # db5 (row 0 live)
+        jax.ShapeDtypeStruct((1, dpad), f32),            # dbd (col 0)
+        jax.ShapeDtypeStruct((1, hidden), f32),          # dbr0
+        jax.ShapeDtypeStruct((B, 8, h2), f32),           # dbr1 (row 0 live)
+        jax.ShapeDtypeStruct((1, feat_nc), f32),         # dbr2
     ]
     ray_out_specs = (
-        [ray_block((NS, PE_PAD)), ray_block((NS,)), ray_block((NS,))]
+        [ray_block((ns, pe_pad)), ray_block((ns,)), ray_block((ns,))]
         if input_grads else []
     )
     out_specs = ray_out_specs + [
-        acc_block((PE_PAD, H)),
-    ] + [acc_block((H, H))] * 6 + [
-        acc_block((PE_PAD, H)), acc_block((H, H)), acc_block((H, DPAD)),
-        acc_block((H, H)), acc_block((H, H2)), acc_block((H2, FEAT)),
-        bacc_block((B, 8, H)),
-    ] + [acc_block((1, H))] * 6 + [
-        bacc_block((B, 8, H)),
-        acc_block((1, DPAD)), acc_block((1, H)), bacc_block((B, 8, H2)),
-        acc_block((1, FEAT)),
+        acc_block((pe_pad, hidden)),
+    ] + [acc_block((hidden, hidden))] * 6 + [
+        acc_block((pe_pad, hidden)), acc_block((hidden, hidden)),
+        acc_block((hidden, dpad)),
+        acc_block((hidden, hidden)), acc_block((hidden, h2)),
+        acc_block((h2, feat_nc)),
+        bacc_block((B, 8, hidden)),
+    ] + [acc_block((1, hidden))] * 6 + [
+        bacc_block((B, 8, hidden)),
+        acc_block((1, dpad)), acc_block((1, hidden)), bacc_block((B, 8, h2)),
+        acc_block((1, feat_nc)),
     ]
 
     n_in = len(args)
@@ -712,3 +738,108 @@ def _fused_render_b_remat(tile_rays, compute_dtype, interpret, input_grads,
 
 
 fused_render.defvjp(_fused_render_f, _fused_render_b)
+
+
+# ------------------------------------------------------- multi-chip (SPMD)
+#
+# shard_map composition of the fused kernel with a device mesh
+# (SURVEY.md §2.9 P6): per-ray work is embarrassingly parallel, so the
+# forward shards [B, R, ...] arrays over (data, rays) with the shared MLP
+# weights replicated and the per-batch folded biases (b0/b5/br1) sharded
+# over "data". The backward runs the same per-shard Pallas kernel and
+# psums the weight cotangents over the mesh — shared weights over both
+# axes, per-batch biases over "rays" only — the same compute+collective
+# pattern as parallel/partial_fc.py.
+
+_PER_BATCH_KEYS = ("b0", "b5", "br1")
+
+
+def _largest_tile(r: int, tile: int) -> int:
+    while r % tile:
+        tile //= 2
+    return tile
+
+
+def _spmd_specs(weights, data_axis, rays_axis):
+    from jax.sharding import PartitionSpec as P
+
+    ray = P(data_axis, rays_axis)
+    wspec = {k: (P(data_axis) if k in _PER_BATCH_KEYS else P())
+             for k in weights}
+    return ray, wspec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def fused_render_spmd(pe, z_dists, zvals, weights, mesh,
+                      axis_names=("data", "rays"), tile_rays=256,
+                      compute_dtype=jnp.bfloat16, interpret=False,
+                      input_grads=True):
+    """`fused_render` sharded over a (data, rays) mesh via shard_map.
+
+    Inputs are global-view [B, R, ...] arrays (B divisible by the data
+    axis, R by the rays axis); per-shard ray tiles are re-derived from the
+    local shapes. Differentiable w.r.t. pe/z-geometry/weights exactly like
+    `fused_render`; weight grads arrive fully reduced (psum over ICI
+    inside the backward shard_map, overlapped with the rest of the
+    backward by XLA's scheduler).
+    """
+    return _spmd_fwd_call(pe, z_dists, zvals, weights, mesh, axis_names,
+                          tile_rays, compute_dtype, interpret)
+
+
+def _spmd_fwd_call(pe, zd, zv, weights, mesh, axes, tile, cdt, interp):
+    da, ra = axes
+    ray, wspec = _spmd_specs(weights, da, ra)
+
+    def body(pe_l, zd_l, zv_l, w_l):
+        t = _largest_tile(pe_l.shape[1], tile)
+        return fused_render_fwd(
+            pe_l, zd_l, zv_l, w_l,
+            tile_rays=t, compute_dtype=cdt, interpret=interp,
+        )
+
+    f = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(ray, ray, ray, wspec),
+        out_specs=(ray, ray, ray),
+        check_vma=False,
+    )
+    return f(pe, zd, zv, weights)
+
+
+def _spmd_f(pe, zd, zv, weights, mesh, axes, tile, cdt, interp, input_grads):
+    out = _spmd_fwd_call(pe, zd, zv, weights, mesh, axes, tile, cdt, interp)
+    return out, (pe, zd, zv, weights)
+
+
+def _spmd_b(mesh, axes, tile, cdt, interp, input_grads, res, g):
+    da, ra = axes
+    pe, zd, zv, weights = res
+    g_feat, g_bg, g_depth = g
+    ray, wspec = _spmd_specs(weights, da, ra)
+    dw_spec = {k: v for k, v in wspec.items()}  # same layout as the primals
+
+    def body(pe_l, zd_l, zv_l, w_l, gf, gb, gd):
+        t = _largest_tile(pe_l.shape[1], min(tile, 64))
+        d_pe, d_zd, d_zv, dw = fused_render_bwd(
+            pe_l, zd_l, zv_l, w_l, gf, gb, gd,
+            tile_rays=t, compute_dtype=cdt, interpret=interp,
+            input_grads=input_grads,
+        )
+        dw = {
+            k: (jax.lax.psum(v, ra) if k in _PER_BATCH_KEYS
+                else jax.lax.psum(v, (da, ra)))
+            for k, v in dw.items()
+        }
+        return d_pe, d_zd, d_zv, dw
+
+    b = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(ray, ray, ray, wspec, ray, ray, ray),
+        out_specs=(ray, ray, ray, dw_spec),
+        check_vma=False,
+    )
+    return b(pe, zd, zv, weights, g_feat, g_bg, g_depth)
+
+
+fused_render_spmd.defvjp(_spmd_f, _spmd_b)

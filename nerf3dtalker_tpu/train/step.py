@@ -82,15 +82,20 @@ def build_step_fns(
     """
     cdt = compute_dtype or (jnp.bfloat16 if train_cfg.bf16_compute else jnp.float32)
     if use_fused is None:
-        # default to the fused Pallas render on real TPU backends; the CPU
-        # path keeps the jnp oracle (mosaic interpret mode is test-only)
-        use_fused = jax.default_backend() not in ("cpu",) and mesh is None
+        # default to the fused Pallas render on real TPU backends (single
+        # chip AND meshed — fused_render_spmd handles the sharded case);
+        # on CPU the default is the jnp oracle, but callers can force
+        # use_fused=True to exercise the kernel via interpret mode
+        use_fused = jax.default_backend() not in ("cpu",)
+    fused_interpret = bool(use_fused) and jax.default_backend() == "cpu"
     # the train step only differentiates w.r.t. parameters, so the fused
     # backward can skip the d_pe/d_zd/d_zv outputs (saves ~270 MB HBM
     # writes/step at Reso64; the fitting drivers keep input grads on)
     model = HeadNeRF(
         nerf_cfg, compute_dtype=cdt, use_fused=use_fused,
+        fused_interpret=fused_interpret,
         fused_input_grads=False,
+        fused_mesh=mesh if use_fused else None,
     )
     audio_model = Audio2Style()
     optimizer = make_optimizer(train_cfg, steps_per_epoch)

@@ -53,3 +53,67 @@ def test_fused_grads_match_standard():
         n2 = float(jnp.linalg.norm(v2))
         # same gradient up to fp reassociation
         assert abs(n1 - n2) <= 2e-2 * max(n1, n2, 1e-6), (key, n1, n2)
+
+
+def test_sharded_fused_step_matches_single_device():
+    """VERDICT r2 #1: the fused Pallas kernel composed with a device mesh
+    (fused_render_spmd: shard_map over (data, rays) + psum'd weight grads)
+    must produce the same training step as the single-device fused path."""
+    from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+    from nerf3dtalker_tpu.parallel import make_mesh
+    from nerf3dtalker_tpu.parallel.mesh import shard_batch
+    from nerf3dtalker_tpu.train.step import build_step_fns
+    from nerf3dtalker_tpu.utils.camera import base_cam
+
+    cfg = NeRFConfig(
+        featmap_size=8, featmap_nc=32, pred_img_size=32,
+        num_sample_coarse=8, mlp_hidden=32,
+    )
+    tc = TrainConfig(bf16_compute=False, use_vgg_loss=False)
+    rng = np.random.default_rng(3)
+    xy, _ = ray_grid(cfg.featmap_size)
+    cam = base_cam(cfg.featmap_size)
+    B, img = 4, cfg.pred_img_size
+    f32 = np.float32
+    batch = {
+        "mels": jnp.asarray(rng.standard_normal((B, 80, 16)).astype(f32)),
+        "gt_rgb": jnp.asarray(rng.uniform(0, 1, (B, img, img, 3)).astype(f32)),
+        "head_mask": jnp.asarray(
+            (rng.uniform(0, 1, (B, img, img, 1)) > 0.4).astype(f32)
+        ),
+        "iden": jnp.asarray(rng.standard_normal((B, 100)).astype(f32) * 0.1),
+        "expr": jnp.asarray(rng.standard_normal((B, 79)).astype(f32) * 0.1),
+        "text": jnp.asarray(rng.standard_normal((B, 100)).astype(f32) * 0.1),
+        "illu": jnp.asarray(rng.standard_normal((B, 27)).astype(f32) * 0.1),
+        "audio_exp": jnp.asarray(rng.standard_normal((B, 64)).astype(f32) * 0.1),
+        "Rmat": jnp.asarray(np.tile(cam.Rmat, (B, 1, 1))),
+        "Tvec": jnp.asarray(np.tile(cam.Tvec, (B, 1))),
+        "inv_inmat": jnp.asarray(np.tile(cam.inv_inmat, (B, 1, 1))),
+        "xy": jnp.asarray(np.tile(xy, (B, 1, 1))),
+    }
+
+    fns_1 = build_step_fns(cfg, tc, use_fused=True)
+    mesh = make_mesh(data=2, rays=4)
+    fns_m = build_step_fns(cfg, tc, mesh=mesh, use_fused=True)
+
+    state_1 = fns_1.init(jax.random.key(0), batch)
+    state_m = fns_m.init(jax.random.key(0), batch)
+    step_rng = jax.random.key(7)
+    state_1, losses_1 = fns_1.train_step(state_1, batch, step_rng)
+    state_m, losses_m = fns_m.train_step(
+        state_m, shard_batch(batch, mesh), step_rng
+    )
+    for k in losses_1:
+        np.testing.assert_allclose(
+            float(losses_1[k]), float(losses_m[k]), rtol=1e-5, atol=1e-6,
+            err_msg=k,
+        )
+    for (k1, v1), (k2, v2) in zip(
+        jax.tree_util.tree_flatten_with_path(state_1.params)[0],
+        jax.tree_util.tree_flatten_with_path(state_m.params)[0],
+    ):
+        assert jax.tree_util.keystr(k1) == jax.tree_util.keystr(k2)
+        np.testing.assert_allclose(
+            np.asarray(v1), np.asarray(v2), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(k1),
+        )
