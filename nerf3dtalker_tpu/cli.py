@@ -38,7 +38,8 @@ def cmd_train(args):
     )
     tc = TrainConfig(
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
-        ckpt_dir=args.ckpt_dir, use_vgg_loss=not args.no_vgg, seed=args.seed,
+        ckpt_dir=args.ckpt_dir, use_vgg_loss=not args.no_vgg,
+        vgg_weights=args.vgg_weights, seed=args.seed,
     )
     if args.data:
         arrays = dict(np.load(args.data))
@@ -388,6 +389,8 @@ def main(argv=None):
     pt.add_argument("--lr", type=float, default=1e-4)
     pt.add_argument("--ckpt-dir", type=str, default="./logs/ckpt")
     pt.add_argument("--no-vgg", action="store_true")
+    pt.add_argument("--vgg-weights", type=str, default="",
+                    help="torchvision vgg16 features state_dict (.pth/.npz)")
     pt.add_argument("--data-parallel", type=int, default=1)
     pt.add_argument("--ray-parallel", type=int, default=1)
     pt.set_defaults(fn=cmd_train)

@@ -152,6 +152,11 @@ class TrainConfig:
     step_lr_every: int = 100
     step_lr_gamma: float = 0.1
     use_vgg_loss: bool = True
+    # optional path to VGG16 weights for the perceptual loss: either a
+    # torch `vgg16().features.state_dict()` file or an .npz of the same
+    # keys. Empty -> deterministic random-projection VGG features (the
+    # loss term is still computed; see models/perceptual.py:load_vgg16).
+    vgg_weights: str = ""
     seed: int = 0
     bf16_compute: bool = True
     ckpt_dir: str = "./logs/ckpt"

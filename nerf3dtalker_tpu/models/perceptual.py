@@ -83,6 +83,38 @@ def init_vgg16(rng: jax.Array) -> Dict:
     return VGG16Features().init(rng, jnp.zeros((1, 224, 224, 3)))
 
 
+def load_vgg16(path: str = "", seed: int = 0) -> Dict:
+    """VGG16 feature params for the perceptual loss, from the best
+    available source:
+
+      * `path` to a torch `vgg16().features.state_dict()` checkpoint or an
+        .npz with the same keys -> exact reference weights
+        (HeadNeRFLossUtils.py:27-30 uses torchvision's pretrained VGG16);
+      * otherwise a deterministic random init — random-conv perceptual
+        features are a documented stand-in (the loss structure, weights,
+        and gradients flow identically; swap in converted weights for
+        value parity with the reference objective).
+    """
+    if path:
+        if path.endswith(".npz"):
+            import numpy as np
+
+            sd = dict(np.load(path))
+        else:
+            import torch
+
+            sd = torch.load(path, map_location="cpu", weights_only=True)
+            # accept either a bare features state_dict or a full vgg16 one
+            if any(k.startswith("features.") for k in sd):
+                sd = {
+                    k[len("features."):]: v
+                    for k, v in sd.items()
+                    if k.startswith("features.")
+                }
+        return convert_torchvision_vgg16(sd)
+    return init_vgg16(jax.random.key(seed))
+
+
 def convert_torchvision_vgg16(state_dict) -> Dict:
     """torchvision `vgg16().features.state_dict()` -> flax params pytree.
 

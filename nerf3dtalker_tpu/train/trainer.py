@@ -35,17 +35,31 @@ class Trainer:
         val_data: Optional[FrameDataset] = None,
         vgg_params=None,
         mesh=None,
+        lpips: Optional[tuple] = None,   # (alexnet params, lin weights)
     ):
         self.nerf_cfg = nerf_cfg
         self.train_cfg = train_cfg
         self.train_data = train_data
         self.val_data = val_data
+        if vgg_params is None and train_cfg.use_vgg_loss:
+            # honor TrainConfig.use_vgg_loss: the reference applies the
+            # VGG perceptual term on every training step
+            # (HeadNeRFLossUtils.py:196-236); converted torchvision
+            # weights when available, deterministic random features else
+            from nerf3dtalker_tpu.models.perceptual import load_vgg16
+
+            vgg_params = load_vgg16(train_cfg.vgg_weights, seed=0)
+            log.info(
+                "VGG perceptual loss on (%s weights)",
+                "converted" if train_cfg.vgg_weights else "random-feature",
+            )
         steps_per_epoch = max(1, len(train_data) // train_cfg.batch_size)
         self.fns = build_step_fns(
             nerf_cfg, train_cfg, steps_per_epoch=steps_per_epoch,
             vgg_params=vgg_params, mesh=mesh,
         )
         self.mesh = mesh
+        self.lpips = lpips
         self.state: Optional[TrainState] = None
         self.history: list = []
 
@@ -94,7 +108,11 @@ class Trainer:
 
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         rng = np.random.default_rng(self.train_cfg.seed + epoch)
-        totals: Dict[str, float] = {}
+        # losses accumulate ON DEVICE and materialize once per epoch:
+        # a per-step float(v) is a device->host sync that serializes the
+        # step stream (the reference's tqdm-loss pattern,
+        # talker_trainer.py:1075-1079, is exactly this bug at GPU speeds)
+        totals: Optional[Dict] = None
         n = 0
         t0 = time.time()
         for i, batch in enumerate(
@@ -108,33 +126,58 @@ class Trainer:
                 (self.train_cfg.seed + epoch) * 100003 + i
             )
             self.state, losses = self.fns.train_step(self.state, batch, step_rng)
-            for k, v in losses.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            totals = (
+                losses if totals is None
+                else jax.tree.map(jax.numpy.add, totals, losses)
+            )
             n += 1
-        avg = {k: v / max(n, 1) for k, v in totals.items()}
+        avg = (
+            {k: float(v) / max(n, 1) for k, v in totals.items()}
+            if totals else {}
+        )
         avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
         return avg
 
     def validate(self, dump_dir: Optional[str] = None, epoch: int = 0) -> Dict[str, float]:
         if self.val_data is None:
             return {}
-        ssims, psnrs = [], []
+        ssims, psnrs, lpipss = [], [], []
         for i, batch in enumerate(self.val_data.epoch(1, rng=None, drop_last=False)):
             img, _ = self.fns.eval_step(self.state.params, batch)
             pred = np.asarray(img[0])
             gt = batch["gt_rgb"][0]
             ssims.append(float(ssim_rgb(pred, gt)))
             psnrs.append(float(psnr(pred, gt)))
+            if self.lpips is not None:
+                # LPIPS-alex, matching Eval_utils.py:108-115 (supply
+                # converted weights via convert_lpips_alex)
+                from nerf3dtalker_tpu.utils.metrics import lpips_alex
+
+                lp_params, lp_lins = self.lpips
+                lpipss.append(float(
+                    lpips_alex(lp_params, lp_lins, pred[None], gt[None])[0]
+                ))
             if dump_dir:
-                # side-by-side GT|render dumps per val iter
+                # side-by-side GT|render dumps per val iter, viewable
                 # (talker_trainer.py:1203-1216 temp_image behaviour)
                 from nerf3dtalker_tpu.models.misc import draw_side_by_side
 
                 d = os.path.join(dump_dir, f"epoch{epoch}")
                 os.makedirs(d, exist_ok=True)
-                np.save(os.path.join(d, f"val_{i:04d}.npy"),
-                        draw_side_by_side(gt, pred))
-        return {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs))}
+                side = draw_side_by_side(gt, pred)
+                arr = np.clip(np.asarray(side) * 255.0, 0, 255).astype(np.uint8)
+                try:
+                    from PIL import Image
+
+                    Image.fromarray(arr).save(
+                        os.path.join(d, f"val_{i:04d}.png")
+                    )
+                except ImportError:
+                    np.save(os.path.join(d, f"val_{i:04d}.npy"), side)
+        out = {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs))}
+        if lpipss:
+            out["LPIPS"] = float(np.mean(lpipss))
+        return out
 
     def train(self, epochs: Optional[int] = None) -> list:
         if self.state is None:

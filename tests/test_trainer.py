@@ -73,3 +73,49 @@ def test_widen_input_channels():
     assert w.shape == (6, 8)
     np.testing.assert_allclose(w[:4], 1.0)
     np.testing.assert_allclose(w[4:], 0.0)
+
+
+def test_vgg_loss_in_default_train_path(tmp_path):
+    """VERDICT r2 #3: TrainConfig.use_vgg_loss must be honored by the
+    shipped training path — the step logs a `vgg` term by default."""
+    tc = TrainConfig(
+        batch_size=2, epochs=1, lr=1e-3, bf16_compute=False,
+        use_vgg_loss=True, ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    train = synthetic_dataset(TINY, num_frames=2, seed=0)
+    t = Trainer(TINY, tc, train, None)
+    hist = t.train(epochs=1)
+    assert "vgg" in hist[0], hist[0].keys()
+    assert np.isfinite(hist[0]["vgg"]) and hist[0]["vgg"] > 0
+
+
+def test_validate_reports_lpips_and_stamps_checkpoint(tmp_path):
+    """VERDICT r2 #5: validate() returns SSIM/PSNR/LPIPS when alex weights
+    are supplied, and the metrics are stamped into the checkpoint meta
+    (the reference embeds them in filenames, talker_trainer.py:920-937)."""
+    import json
+
+    import jax
+
+    from nerf3dtalker_tpu.utils.metrics import AlexNetFeatures
+
+    lp_params = AlexNetFeatures().init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3))
+    )
+    lins = [jnp.ones((c,)) / c for c in (64, 192, 384, 256, 256)]
+    t = _trainer(tmp_path, lpips=(lp_params, lins))
+    hist = t.train(epochs=1)
+    assert {"SSIM", "PSNR", "LPIPS"} <= set(hist[0])
+    assert np.isfinite(hist[0]["LPIPS"])
+    metas = [f for f in os.listdir(t.train_cfg.ckpt_dir)
+             if f.startswith("meta_")]
+    assert metas
+    with open(os.path.join(t.train_cfg.ckpt_dir, sorted(metas)[-1])) as f:
+        meta = json.load(f)
+    assert {"SSIM", "PSNR", "LPIPS"} <= set(meta["metrics"])
+    # viewable side-by-side validation dumps (PNG, not raw arrays)
+    dump_root = os.path.join(t.train_cfg.log_dir, "temp_image")
+    pngs = []
+    for root, _, files in os.walk(dump_root):
+        pngs += [f for f in files if f.endswith(".png")]
+    assert pngs
