@@ -367,6 +367,154 @@ def cmd_preprocess(args):
     print(f"wrote {sorted(arrays)} to {path}")
 
 
+def cmd_eval_vq(args):
+    """Stage-1 test-split reconstruction driver (the reference's
+    StandardizedSpace/main/test_vq.py:52-150): npz with gen_img/mask/crops
+    (+ optional gt_img) -> AU-conditioned VQ reconstructions written as
+    gen+/ PNGs, metrics printed as one JSON line."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import VQConfig
+    from nerf3dtalker_tpu.train.vq_eval import reconstruct_split
+    from nerf3dtalker_tpu.train.vq_trainer import build_vq_step
+
+    cfg = VQConfig(
+        img_size=args.img_size, hidden_size=args.hidden,
+        embed_dim=args.embed_dim, n_embed=args.n_embed,
+        num_hidden_layers=args.layers,
+    )
+    if args.data:
+        data = dict(np.load(args.data))
+    else:
+        print("no --data; smoke run on random frames")
+        rng = np.random.default_rng(0)
+        S = args.img_size
+        data = {
+            "gen_img": rng.uniform(0, 1, (4, S, S, 3)).astype(np.float32),
+            "gt_img": rng.uniform(0, 1, (4, S, S, 3)).astype(np.float32),
+            "mask": np.ones((4, S, S, 1), np.float32),
+            "crops": rng.uniform(0, 1, (4, 5, 112, 112, 3)).astype(np.float32),
+            "au_labels": np.ones((4, 5), np.float32),
+        }
+    init, _, _ = build_vq_step(cfg)
+    batch0 = {k: jnp.asarray(v[:1]) for k, v in data.items()}
+    state = init(jax.random.key(args.seed), batch0)
+    if args.ckpt:
+        from nerf3dtalker_tpu.utils.checkpoints import restore_checkpoint
+
+        state, _ = restore_checkpoint(args.ckpt, state)
+    out_dir = args.out or "./gen+"
+    metrics = reconstruct_split(
+        cfg, state.vq_params, state.au_params, data, out_dir=out_dir,
+    )
+    print(json.dumps({"out_dir": out_dir, **metrics}))
+
+
+def cmd_infer_stage2(args):
+    """Standardized-Space inference from a wav, no external feature files
+    (reference stage2.py:102-155 predict + main/test_pred.py): wav ->
+    in-repo wav2vec2 encoder -> CodeTalker autoregressive codes over the
+    frozen stage-1 codebook -> decoded (refined) frame sequence .npy."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import VQConfig
+    from nerf3dtalker_tpu.models.vq.wav2vec import (
+        Wav2Vec2Encoder,
+        encode_audio,
+    )
+    from nerf3dtalker_tpu.train.stage2_trainer import build_stage2_step
+    from nerf3dtalker_tpu.train.vq_eval import eval_stage2, frame_vq_apply
+    from nerf3dtalker_tpu.train.vq_trainer import build_vq_step
+
+    import wave
+
+    with wave.open(args.wav, "rb") as f:
+        pcm = np.frombuffer(
+            f.readframes(f.getnframes()), np.int16
+        ).astype(np.float32) / 32768.0
+        sr = f.getframerate()
+    T = args.frames or max(1, int(len(pcm) / sr * args.fps))
+
+    # audio features: converted HF weights when provided, else a small
+    # random-init encoder (pipeline smoke; convert_hf_wav2vec2 for parity)
+    if args.hf_wav2vec:
+        import transformers
+
+        hf = transformers.Wav2Vec2Model.from_pretrained(args.hf_wav2vec)
+        from nerf3dtalker_tpu.models.vq.wav2vec import (
+            config_from_hf,
+            convert_hf_wav2vec2,
+        )
+
+        enc = config_from_hf(hf)
+        w2v_params = convert_hf_wav2vec2(hf)
+    else:
+        enc = Wav2Vec2Encoder(
+            conv_dim=(64, 64), conv_kernel=(10, 3), conv_stride=(5, 2),
+            hidden_size=768, num_layers=2, num_heads=4,
+            intermediate_size=1024, num_conv_pos_embeddings=16,
+            num_conv_pos_embedding_groups=4,
+        )
+        w2v_params = enc.init(jax.random.key(0), jnp.zeros((1, 1600)))
+    feats = encode_audio(w2v_params, jnp.asarray(pcm[None]), T, model=enc)
+
+    cfg = VQConfig(
+        img_size=args.img_size, hidden_size=args.hidden,
+        embed_dim=args.embed_dim, n_embed=args.n_embed,
+        num_hidden_layers=args.layers,
+    )
+    init_vq, _, _ = build_vq_step(cfg)
+    rngd = np.random.default_rng(0)
+    S = cfg.img_size
+    batch0 = {
+        "gen_img": jnp.asarray(rngd.uniform(0, 1, (1, S, S, 3)).astype(np.float32)),
+        "gt_img": jnp.zeros((1, S, S, 3)),
+        "mask": jnp.ones((1, S, S, 1)),
+        "crops": jnp.zeros((1, cfg.n_au, 112, 112, 3)),
+        "au_labels": jnp.ones((1, cfg.n_au)),
+    }
+    vq_state = init_vq(jax.random.key(args.seed), batch0)
+    if args.vq_ckpt:
+        from nerf3dtalker_tpu.utils.checkpoints import restore_checkpoint
+
+        vq_state, _ = restore_checkpoint(args.vq_ckpt, vq_state)
+    vq_apply = frame_vq_apply(cfg, vq_state.vq_params)
+
+    s2_cfg = dataclasses.replace(cfg, face_quan_num=vq_apply["codes_per_frame"])
+    init_s2, _, predict = build_stage2_step(
+        s2_cfg, vq_apply, vertice_dim=vq_apply["vertice_dim"],
+        feature_dim=args.feature_dim, n_subjects=args.n_subjects,
+    )
+    b0 = {
+        "audio_feats": feats,
+        "motion": jnp.zeros((1, 2, vq_apply["vertice_dim"])),
+        "onehot": jax.nn.one_hot(jnp.asarray([args.subject]), args.n_subjects),
+    }
+    s2_state = init_s2(jax.random.key(args.seed + 1), b0)
+    if args.ckpt:
+        from nerf3dtalker_tpu.utils.checkpoints import restore_checkpoint
+
+        s2_state, _ = restore_checkpoint(args.ckpt, s2_state)
+
+    out_path = args.out or "stage2_frames.npy"
+    metrics = eval_stage2(
+        predict, s2_state.params, np.asarray(feats),
+        np.asarray(b0["onehot"]), T, out_path=out_path,
+    )
+    pred = np.load(out_path)
+    frames = pred.reshape(1, T, S, S, 3)
+    print(json.dumps({
+        "out": out_path, "frames": int(T), "img_size": S,
+        "finite": bool(np.isfinite(frames).all()), **metrics,
+    }))
+
+
 def cmd_bench(args):
     import runpy
 
@@ -406,6 +554,38 @@ def main(argv=None):
     pv.add_argument("--n-embed", type=int, default=8192)
     pv.add_argument("--layers", type=int, default=6)
     pv.set_defaults(fn=cmd_train_vq)
+
+    pev = sub.add_parser("eval-vq", help="test_vq: reconstruct split -> gen+/")
+    _add_common(pev)
+    pev.add_argument("--data", type=str, default="")
+    pev.add_argument("--ckpt", type=str, default="")
+    pev.add_argument("--hidden", type=int, default=64)
+    pev.add_argument("--embed-dim", type=int, default=64)
+    pev.add_argument("--n-embed", type=int, default=256)
+    pev.add_argument("--layers", type=int, default=1)
+    pev.add_argument("--out", type=str, default="")
+    pev.set_defaults(fn=cmd_eval_vq)
+
+    ps2 = sub.add_parser(
+        "infer-stage2", help="wav -> wav2vec2 -> CodeTalker codes -> frames"
+    )
+    _add_common(ps2)
+    ps2.add_argument("--wav", required=True)
+    ps2.add_argument("--frames", type=int, default=0)
+    ps2.add_argument("--fps", type=int, default=25)
+    ps2.add_argument("--hf-wav2vec", type=str, default="",
+                     help="HF Wav2Vec2Model dir for converted weights")
+    ps2.add_argument("--vq-ckpt", type=str, default="")
+    ps2.add_argument("--ckpt", type=str, default="", help="stage-2 orbax dir")
+    ps2.add_argument("--hidden", type=int, default=64)
+    ps2.add_argument("--embed-dim", type=int, default=64)
+    ps2.add_argument("--n-embed", type=int, default=256)
+    ps2.add_argument("--layers", type=int, default=1)
+    ps2.add_argument("--feature-dim", type=int, default=64)
+    ps2.add_argument("--n-subjects", type=int, default=8)
+    ps2.add_argument("--subject", type=int, default=0)
+    ps2.add_argument("--out", type=str, default="")
+    ps2.set_defaults(fn=cmd_infer_stage2)
 
     pf = sub.add_parser("fit")
     _add_common(pf)

@@ -25,9 +25,11 @@ from nerf3dtalker_tpu.models.vq.transformer import MLP
 
 def resample_frames(features: jnp.ndarray, target_len: int) -> jnp.ndarray:
     """Linear-interp resampling of wav2vec2 features to the video frame rate
-    (reference models/lib/wav2vec.py linear_interpolation)."""
-    B, T, C = features.shape
-    return jax.image.resize(features, (B, target_len, C), method="linear")
+    (reference models/lib/wav2vec.py linear_interpolation — torch
+    F.interpolate with align_corners=True, NOT half-pixel centers)."""
+    from nerf3dtalker_tpu.models.vq.wav2vec import resample_frames_aligned
+
+    return resample_frames_aligned(features, target_len)
 
 
 def periodic_positional_encoding(

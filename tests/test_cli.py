@@ -66,3 +66,40 @@ def test_fit_smoke(tmp_path):
     assert z["iden_offset"].shape == (1, 100)
     assert z["expr_offset"].shape == (1, 79)
     assert np.isfinite(z["appea_offset"]).all()
+
+
+def test_eval_vq_writes_genplus_frames(tmp_path, capsys):
+    """test_vq-style eval driver: reconstruct a split, write gen+/ PNGs
+    (StandardizedSpace/main/test_vq.py:52-150)."""
+    import json
+    import os
+
+    out_dir = tmp_path / "gen+"
+    main([
+        "eval-vq", "--img-size", "16", "--hidden", "32", "--embed-dim", "32",
+        "--n-embed", "64", "--out", str(out_dir),
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["num_frames"] == 4 and "rec_l1" in rec
+    pngs = [f for f in os.listdir(out_dir) if f.endswith(".png")]
+    assert len(pngs) == 4
+
+
+def test_infer_stage2_wav_to_frames(tmp_path, capsys):
+    """VERDICT r2 #4: wav -> in-repo wav2vec2 -> CodeTalker autoregressive
+    codes -> decoded frame sequence, no external feature files."""
+    import json
+
+    from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+
+    wav = synthesize_placeholder("stage two", path=str(tmp_path / "s2.wav"))
+    out = tmp_path / "frames.npy"
+    main([
+        "infer-stage2", "--wav", wav, "--frames", "3", "--img-size", "16",
+        "--hidden", "32", "--embed-dim", "32", "--n-embed", "64",
+        "--out", str(out),
+    ])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["finite"] and rec["frames"] == 3
+    pred = np.load(out)
+    assert pred.shape == (1, 3, 16 * 16 * 3)
