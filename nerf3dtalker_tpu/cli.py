@@ -358,9 +358,16 @@ def cmd_preprocess(args):
         pcm = np.frombuffer(
             f.readframes(f.getnframes()), np.int16
         ).astype(np.float32) / 32768.0
+    appliers = {}
+    if args.strict:
+        from nerf3dtalker_tpu.data.preprocess import build_appliers
+
+        appliers = build_appliers(
+            frames.shape[1], seed=args.seed, fit_iters=(10, 20),
+        )
     arrays = preprocess_subject(
         frames.astype(np.float32), pcm, featmap_size=args.featmap_size,
-        seed=args.seed,
+        seed=args.seed, strict=args.strict, **appliers,
     )
     path = args.out or "subject.npz"
     np.savez(path, **arrays)
@@ -627,6 +634,8 @@ def main(argv=None):
     pp.add_argument("--wav", type=str, required=True)
     pp.add_argument("--featmap-size", type=int, default=32)
     pp.add_argument("--seed", type=int, default=0)
+    pp.add_argument("--strict", action="store_true",
+                    help="run the full network path; no placeholder arrays")
     pp.add_argument("--out", type=str, default="")
     pp.set_defaults(fn=cmd_preprocess)
 

@@ -16,9 +16,11 @@ Pipeline per subject:
 
 Outputs a dict of arrays matching data.dataset.REQUIRED_KEYS, saved as one
 .npz per subject. All model weights are caller-supplied (converted from
-the reference checkpoints); stages degrade gracefully when weights are
-absent (masks default to all-foreground, exps to zeros) so the pipeline is
-runnable end-to-end in any environment.
+the reference checkpoints); by default stages degrade gracefully when
+weights are absent (masks default to all-foreground, exps to zeros), and
+``strict=True`` raises instead — use :func:`build_appliers` to run the
+full network path (BiSeNet -> FAN -> fit3dmm -> netG) with random or
+converted weights.
 """
 
 from __future__ import annotations
@@ -37,7 +39,22 @@ def preprocess_subject(
     fit3dmm_fn: Optional[Callable] = None,      # imgs, masks, lms -> codes/cams
     featmap_size: int = 32,
     seed: int = 0,
+    strict: bool = False,
 ) -> Dict[str, np.ndarray]:
+    if strict:
+        # no silent placeholder arrays: every model stage must be supplied
+        # (build_appliers() wires the in-repo networks; convert reference
+        # checkpoints via utils/convert.py for value parity)
+        missing = [
+            n for n, fn in [
+                ("bisenet_apply", bisenet_apply), ("fan_apply", fan_apply),
+                ("netg_apply", netg_apply), ("fit3dmm_fn", fit3dmm_fn),
+            ] if fn is None
+        ]
+        if missing:
+            raise ValueError(
+                f"strict preprocessing: missing model stages {missing}"
+            )
     from nerf3dtalker_tpu.data.mel import blink_ratio_sequence, per_frame_mel_chunks
     from nerf3dtalker_tpu.utils.camera import base_cam
 
@@ -114,6 +131,142 @@ def preprocess_subject(
         "inv_inmat": np.tile(cam.inv_inmat, (Tm, 1, 1)).astype(f32),
         "lm2d": lms[:Tm].astype(f32),
         "ratios": ratios.astype(f32),
+    }
+
+
+def build_appliers(
+    image_size: int,
+    seed: int = 0,
+    weights: Optional[Dict] = None,
+    mesh_grid: int = 7,
+    fit_iters: tuple = (50, 200),
+) -> Dict[str, Callable]:
+    """Construct the four preprocessing model appliers with REAL networks.
+
+    `weights` may supply converted reference checkpoints per stage
+    ({"bisenet": ..., "fan": ..., "netg": ..., "nl3dmm": (geo, tex)});
+    absent entries are randomly initialized — the full network path still
+    runs end-to-end (BiSeNet parse -> FAN landmarks -> two-stage 3DMM fit
+    -> netG audio-exp), only the VALUES need converted weights for parity.
+    The 3DMM fit uses a `mesh_grid`^2-point mesh by default; pass the
+    reference basis (models/face3d/nl3dmm.load_nl3dmm_basis) for the full
+    34650-point model.
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from nerf3dtalker_tpu.models.audio import (
+        SimpleWrapperV2,
+        audio2exp_sequence,
+    )
+    from nerf3dtalker_tpu.models.bisenet import BiSeNet
+    from nerf3dtalker_tpu.models.fan import FAN, decode_heatmaps
+    from nerf3dtalker_tpu.models.face3d.nl3dmm import (
+        Linear3DMMTexture,
+        NonLinear3DMM,
+    )
+    from nerf3dtalker_tpu.train.fit3dmm import fit_3dmm
+
+    weights = weights or {}
+    k = jax.random.split(jax.random.key(seed), 8)
+    S = image_size
+
+    bise = BiSeNet()
+    bise_p = weights.get("bisenet") or bise.init(
+        k[0], jnp.zeros((1, max(S, 64), max(S, 64), 3))
+    )
+
+    def bisenet_apply(images):
+        x = jnp.asarray(images)
+        if S < 64:   # trunk downsamples 32x; keep the parse grid sane
+            x = jax.image.resize(x, (x.shape[0], 64, 64, 3), "linear")
+        out = bise.apply(bise_p, x)
+        parsing = jnp.argmax(out[0], axis=-1)
+        if parsing.shape[1] != S:
+            parsing = jax.image.resize(
+                parsing.astype(jnp.float32), (x.shape[0], S, S), "nearest"
+            ).astype(jnp.int32)
+        return parsing
+
+    fan = FAN(n_stacks=1)
+    fan_p = weights.get("fan") or fan.init(k[1], jnp.zeros((1, 256, 256, 3)))
+
+    def fan_apply(images):
+        x = jnp.asarray(images)
+        x = jax.image.resize(x, (x.shape[0], 256, 256, 3), "linear")
+        hm = fan.apply(fan_p, x)
+        hm = hm[-1] if isinstance(hm, (list, tuple)) else hm
+        lm = decode_heatmaps(hm, crop_size=256)
+        return lm * (S / 256.0)
+
+    netg = SimpleWrapperV2()
+    netg_p = weights.get("netg") or netg.init(
+        k[2], jnp.zeros((1, 80, 16, 1)), jnp.zeros((1, 64)),
+        jnp.zeros((1, 1)),
+    )
+
+    def netg_apply(mels, ref64, ratios):
+        return audio2exp_sequence(
+            netg.apply, netg_p, jnp.asarray(mels)[..., None],
+            jnp.asarray(ref64), jnp.asarray(ratios),
+        )
+
+    G = mesh_grid
+    PN = G * G
+    geo = NonLinear3DMM(point_num=PN, code_dims=179)
+    tex = Linear3DMMTexture(point_num=PN)
+    if "nl3dmm" in weights:
+        geo_p, tex_p = weights["nl3dmm"]
+    else:
+        geo_p = geo.init(k[3], jnp.zeros((1, 100)), jnp.zeros((1, 79)))
+        # bias the zero-code mesh to a frontal planar grid so the fit has
+        # plausible geometry to start from
+        xs, ys = np.meshgrid(
+            np.linspace(-0.5, 0.5, G), np.linspace(-0.5, 0.5, G)
+        )
+        grid = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1)
+        geo_p["params"]["geo_fc3"]["bias"] = jnp.asarray(
+            grid.astype(np.float32)
+        )
+        tex_p = tex.init(k[4], jnp.zeros((1, 100)))
+    tri = []
+    for r in range(G - 1):
+        for c in range(G - 1):
+            i = r * G + c
+            tri += [[i, i + 1, i + G], [i + 1, i + G + 1, i + G]]
+    faces = jnp.asarray(np.array(tri, np.int32))
+    lm_index = jnp.arange(68) % PN
+    f = float(S) * 1.2
+    inmat = jnp.asarray(
+        [[[f, 0.0, S / 2.0], [0.0, f, S / 2.0], [0.0, 0.0, 1.0]]]
+    )
+
+    def fit3dmm_fn(imgs, masks, lms):
+        from nerf3dtalker_tpu.models.face3d import nl3dmm as mod
+
+        B = imgs.shape[0]
+        orig_nl, orig_tex = mod.NonLinear3DMM, mod.Linear3DMMTexture
+        mod.NonLinear3DMM = functools.partial(orig_nl, point_num=PN)
+        mod.Linear3DMMTexture = functools.partial(orig_tex, point_num=PN)
+        try:
+            return fit_3dmm(
+                geo_p, tex_p, jnp.asarray(imgs), jnp.asarray(masks),
+                jnp.asarray(lms), jnp.tile(inmat, (B, 1, 1)), faces,
+                lm_index, skinmask=jnp.ones((PN,)),
+                stage1_iters=fit_iters[0], stage2_iters=fit_iters[1],
+                chunk=min(512, S * S),
+            )
+        finally:
+            mod.NonLinear3DMM = orig_nl
+            mod.Linear3DMMTexture = orig_tex
+
+    return {
+        "bisenet_apply": bisenet_apply,
+        "fan_apply": fan_apply,
+        "netg_apply": netg_apply,
+        "fit3dmm_fn": fit3dmm_fn,
     }
 
 

@@ -161,12 +161,27 @@ def phase_bilinear2x(X: jnp.ndarray, l: int) -> jnp.ndarray:
 
 def phase_split(z: jnp.ndarray, l: int) -> jnp.ndarray:
     """Pixel shuffle as phase relabeling: [Pr, Pc, Hc, Wc, 4C] phase-major
-    lanes (q = (di*2+dj)*C + c) -> [2Pr, 2Pc, Hc, Wc, C]."""
+    lanes (q = (di*2+dj)*C + c) -> [2Pr, 2Pc, Hc, Wc, C].
+
+    Implemented as four static lane slices + stacks/reshapes on the
+    leading (untiled) phase axes — Mosaic cannot lower a lane-dim split
+    reshape ('infer-vector-layout: unsupported shape cast'), but static
+    lane slices and leading-axis interleaves are fine, and the same form
+    is equivalent (and equally fused) under plain XLA."""
     Pr, Pc, Hc, Wc, C4 = z.shape
     C = C4 // 4
-    z = z.reshape(Pr, Pc, Hc, Wc, 2, 2, C)       # [..., di, dj, c]
-    z = z.transpose(0, 4, 1, 5, 2, 3, 6)         # [pr, di, pc, dj, Hc, Wc, c]
-    return z.reshape(2 * Pr, 2 * Pc, Hc, Wc, C)
+    parts = [
+        jax.lax.slice_in_dim(z, p * C, (p + 1) * C, axis=4) for p in range(4)
+    ]
+    # out[2*pr+di, 2*pc+dj] = parts[2*di+dj][pr, pc]
+    def row(a, b):  # interleave dj next to Pc
+        st = jnp.stack([a, b], axis=2)           # [Pr, Pc, 2, Hc, Wc, C]
+        return st.reshape(Pr, 2 * Pc, Hc, Wc, C)
+
+    r0 = row(parts[0], parts[1])
+    r1 = row(parts[2], parts[3])
+    out = jnp.stack([r0, r1], axis=1)            # [Pr, 2, 2Pc, Hc, Wc, C]
+    return out.reshape(2 * Pr, 2 * Pc, Hc, Wc, C)
 
 
 def unstack_phases(X: jnp.ndarray) -> jnp.ndarray:
