@@ -40,6 +40,7 @@ def cmd_train(args):
         batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
         ckpt_dir=args.ckpt_dir, use_vgg_loss=not args.no_vgg,
         vgg_weights=args.vgg_weights, seed=args.seed,
+        native_prefetch=args.native_prefetch,
     )
     if args.data:
         arrays = dict(np.load(args.data))
@@ -546,6 +547,8 @@ def main(argv=None):
     pt.add_argument("--no-vgg", action="store_true")
     pt.add_argument("--vgg-weights", type=str, default="",
                     help="torchvision vgg16 features state_dict (.pth/.npz)")
+    pt.add_argument("--native-prefetch", action="store_true",
+                    help="C++ threaded batch prefetcher for the input path")
     pt.add_argument("--data-parallel", type=int, default=1)
     pt.add_argument("--ray-parallel", type=int, default=1)
     pt.set_defaults(fn=cmd_train)

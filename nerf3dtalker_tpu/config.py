@@ -158,6 +158,10 @@ class TrainConfig:
     # loss term is still computed; see models/perceptual.py:load_vgg16).
     vgg_weights: str = ""
     seed: int = 0
+    # route training batches through the C++ threaded prefetcher
+    # (native/nerf3dt_native.cpp); falls back to the Python loader if the
+    # shared library can't be built
+    native_prefetch: bool = False
     bf16_compute: bool = True
     ckpt_dir: str = "./logs/ckpt"
     log_dir: str = "./logs"

@@ -123,3 +123,49 @@ class NativePrefetcher:
             self.close()
         except Exception:
             pass
+
+
+class FramePrefetcher:
+    """Route a FrameDataset's training batches through the C++ threaded
+    prefetcher (the native replacement for the reference's num_workers
+    DataLoader processes, data_loader_xgaze_new.py:780-808).
+
+    Per-frame fields are packed once into a flat [T, D] f32 matrix; the
+    native thread shuffles, gathers and double-buffers batches off the
+    Python thread, and rows are split back into the train-step batch dict
+    on the way out (the xy ray grid is tiled once up front).
+    """
+
+    _FIELDS = (
+        ("gt_rgb", "images"), ("head_mask", "head_mask"), ("mels", "mels"),
+        ("audio_exp", "audio_exp"), ("iden", "iden"), ("expr", "expr"),
+        ("text", "text"), ("illu", "illu"), ("Rmat", "Rmat"),
+        ("Tvec", "Tvec"), ("inv_inmat", "inv_inmat"),
+    )
+
+    def __init__(self, dataset, batch_size: int, seed: int = 0):
+        T = dataset.num_frames
+        self._shapes = {}
+        cols = []
+        for out_key, key in self._FIELDS:
+            a = np.asarray(dataset.arrays[key], np.float32)
+            self._shapes[out_key] = a.shape[1:]
+            cols.append(a.reshape(T, -1))
+        flat = np.concatenate(cols, axis=1)
+        self._pf = NativePrefetcher(flat, batch_size, seed)
+        self._xy = np.tile(dataset.xy, (batch_size, 1, 1))
+        self.steps_per_epoch = max(1, T // batch_size)
+
+    def next(self) -> dict:
+        rows = self._pf.next()
+        out, o = {}, 0
+        for out_key, _ in self._FIELDS:
+            shp = self._shapes[out_key]
+            n = int(np.prod(shp)) if shp else 1
+            out[out_key] = rows[:, o : o + n].reshape((rows.shape[0],) + shp)
+            o += n
+        out["xy"] = self._xy
+        return out
+
+    def close(self):
+        self._pf.close()

@@ -62,6 +62,18 @@ class Trainer:
         self.lpips = lpips
         self.state: Optional[TrainState] = None
         self.history: list = []
+        self._prefetcher = None
+        if train_cfg.native_prefetch:
+            try:
+                from nerf3dtalker_tpu.data.native import FramePrefetcher
+
+                self._prefetcher = FramePrefetcher(
+                    train_data, train_cfg.batch_size, seed=train_cfg.seed
+                )
+                log.info("native C++ batch prefetcher enabled")
+            except ImportError as e:
+                log.warning("native prefetcher unavailable (%s); "
+                            "falling back to the Python loader", e)
 
     # ------------------------------------------------------------- lifecycle
 
@@ -115,9 +127,14 @@ class Trainer:
         totals: Optional[Dict] = None
         n = 0
         t0 = time.time()
-        for i, batch in enumerate(
-            self.train_data.epoch(self.train_cfg.batch_size, rng)
-        ):
+        if self._prefetcher is not None:
+            batches = (
+                self._prefetcher.next()
+                for _ in range(self._prefetcher.steps_per_epoch)
+            )
+        else:
+            batches = self.train_data.epoch(self.train_cfg.batch_size, rng)
+        for i, batch in enumerate(batches):
             if self.mesh is not None:
                 from nerf3dtalker_tpu.parallel.mesh import shard_batch
 

@@ -68,3 +68,48 @@ def test_warp_affine_identity():
     out = warp_affine(img, np.eye(3), (6, 6))
     # interior must match exactly under identity
     np.testing.assert_allclose(out[:5, :5], img[:5, :5], atol=1e-5)
+
+
+def test_frame_prefetcher_feeds_training(tmp_path):
+    """VERDICT r2 #6: the C++ prefetcher plugged into the training input
+    path — batches match the dataset fields and the Trainer runs on them."""
+    import jax.numpy as jnp
+    import pytest
+
+    from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig
+    from nerf3dtalker_tpu.data.dataset import synthetic_dataset
+
+    try:
+        from nerf3dtalker_tpu.data.native import FramePrefetcher
+        cfg = NeRFConfig(
+            featmap_size=8, featmap_nc=32, pred_img_size=32,
+            num_sample_coarse=8, mlp_hidden=32,
+        )
+        ds = synthetic_dataset(cfg, num_frames=4, seed=0)
+        pf = FramePrefetcher(ds, batch_size=2, seed=0)
+    except ImportError:
+        pytest.skip("native library unavailable")
+    b = pf.next()
+    ref = ds.batch(np.arange(2))
+    assert set(b) == set(ref)
+    for k in ref:
+        assert b[k].shape == ref[k].shape, k
+    # rows are genuine dataset frames (match exactly one source frame)
+    img0 = b["gt_rgb"][0]
+    assert any(
+        np.array_equal(img0, ds.arrays["images"][t])
+        for t in range(ds.num_frames)
+    )
+    pf.close()
+
+    from nerf3dtalker_tpu.train.trainer import Trainer
+
+    tc = TrainConfig(
+        batch_size=2, epochs=1, lr=1e-3, bf16_compute=False,
+        use_vgg_loss=False, native_prefetch=True,
+        ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    t = Trainer(cfg, tc, ds, None)
+    hist = t.train(epochs=1)
+    assert t._prefetcher is not None
+    assert np.isfinite(hist[0]["total_loss"])
