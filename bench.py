@@ -59,12 +59,28 @@ def main():
         inv_inmat=jnp.asarray(np.tile(cam.inv_inmat, (B, 1, 1))),
     )
     params = model.init(jax.random.key(0), **inp)
-    target = jnp.full((B, cfg.pred_img_size, cfg.pred_img_size, 3), 0.5)
+    target = jnp.asarray(
+        rng.uniform(0, 1, (B, cfg.pred_img_size, cfg.pred_img_size, 3))
+        .astype(f32)
+    )
+    head_mask = jnp.asarray(
+        (rng.uniform(0, 1, (B, cfg.pred_img_size, cfg.pred_img_size, 1))
+         > 0.4).astype(f32)
+    )
+    # the FULL reference training objective (Utils/HeadNeRFLossUtils.py:
+    # 125-156,196-236): bg + masked head/nonhead MSE + the VGG16
+    # perceptual term — not a lighter MSE-only step
+    from nerf3dtalker_tpu.models.perceptual import load_vgg16
+    from nerf3dtalker_tpu.train.losses import headnerf_losses
+
+    vgg_params = load_vgg16("")      # random features: full compute cost
 
     def loss_fn(p, aud):
         out = model.apply(p, **{**inp, "audio_style": aud})
-        img = jnp.nan_to_num(out["merge_img"])
-        return jnp.mean((img - target) ** 2) + jnp.mean((out["bg_img"] - 1.0) ** 2)
+        losses = headnerf_losses(
+            out, target, head_mask, bg_value=1.0, vgg_params=vgg_params
+        )
+        return losses["total_loss"]
 
     grad_fn = jax.grad(loss_fn)
 
@@ -86,6 +102,7 @@ def main():
                 "value": round(rays_per_s, 1),
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_s / _A100_RAYS_PER_S, 3),
+                "loss": "bg+head+nonhead+vgg16 (full reference objective)",
             }
         )
     )

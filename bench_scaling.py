@@ -18,7 +18,7 @@ import json
 import numpy as np
 
 
-def measure(mesh, cfg, tc, B, iters=8):
+def measure(mesh, cfg, tc, B, iters=8, use_fused=None):
     import jax
     import jax.numpy as jnp
 
@@ -27,7 +27,7 @@ def measure(mesh, cfg, tc, B, iters=8):
     from nerf3dtalker_tpu.train.step import build_step_fns
     from nerf3dtalker_tpu.utils.timing import chained_time
 
-    fns = build_step_fns(cfg, tc, mesh=mesh)
+    fns = build_step_fns(cfg, tc, mesh=mesh, use_fused=use_fused)
     ds = synthetic_dataset(cfg, num_frames=max(B, 2))
     batch = ds.batch(np.arange(B))
     state = fns.init(jax.random.key(0), batch)
@@ -46,10 +46,28 @@ def measure(mesh, cfg, tc, B, iters=8):
     return B * cfg.n_rays / dt
 
 
-def main():
+_SCALES = {
+    # tiny: same code path (fused kernels are dims-generic) at a size the
+    # virtual CPU mesh can run in interpret mode in seconds
+    "tiny": dict(featmap_size=8, featmap_nc=32, pred_img_size=32,
+                 num_sample_coarse=8, mlp_hidden=32),
+    "reso32": dict(featmap_size=32, featmap_nc=256, pred_img_size=256),
+    "reso64": dict(featmap_size=64, featmap_nc=256, pred_img_size=512),
+}
+
+
+def main(argv=None):
+    import argparse
     import os
 
     import jax
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scale", choices=sorted(_SCALES), default=None,
+                    help="default: reso64 on TPU, tiny on CPU")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--fused", choices=("auto", "on", "off"), default="on")
+    args = ap.parse_args(argv)
 
     # the axon plugin's sitecustomize overrides JAX_PLATFORMS at boot;
     # re-assert the env request so `JAX_PLATFORMS=cpu XLA_FLAGS=
@@ -63,19 +81,27 @@ def main():
     from nerf3dtalker_tpu.parallel import make_mesh
 
     n = len(jax.devices())
-    cfg = NeRFConfig(featmap_size=32, featmap_nc=256, pred_img_size=256)
-    tc = TrainConfig(bf16_compute=True, use_vgg_loss=False)
+    platform = jax.default_backend()
+    scale = args.scale or ("tiny" if platform == "cpu" else "reso64")
+    cfg = NeRFConfig(**_SCALES[scale])
+    tc = TrainConfig(bf16_compute=platform != "cpu", use_vgg_loss=False)
+    use_fused = {"auto": None, "on": True, "off": False}[args.fused]
 
-    r1 = measure(make_mesh(data=1, rays=1), cfg, tc, B=1)
+    r1 = measure(make_mesh(data=1, rays=1), cfg, tc, B=1,
+                 iters=args.iters, use_fused=use_fused)
     if n > 1:
         data = 2 if n % 2 == 0 else 1
         rays = n // data
-        rn = measure(make_mesh(data=data, rays=rays), cfg, tc, B=data)
+        rn = measure(make_mesh(data=data, rays=rays), cfg, tc, B=data,
+                     iters=args.iters, use_fused=use_fused)
         eff = rn / (r1 * n)
     else:
         rn, eff = r1, 1.0
     print(json.dumps({
         "metric": "scaling_efficiency",
+        "platform": platform,
+        "scale": scale,
+        "fused": args.fused,
         "devices": n,
         "rays_per_s_1dev": round(r1, 1),
         "rays_per_s_ndev": round(rn, 1),

@@ -222,7 +222,9 @@ def _bwd_kernel(net_ref, rgb_ref, gnet_n_ref, grgb_n_ref, *refs,
 
 
 def _vmem_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024)
+    # 120M of the 128M device VMEM: the block-2 backward's scoped
+    # allocation peaks at ~110.2M even at 2-row strips
+    return pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024)
 
 
 def _io_dtype(cdt):
@@ -410,9 +412,11 @@ def _pba_bwd(i, R, cdt_name, interpret, res, g):
     g_net_n, g_rgb_n = g
     iodt = _io_dtype(jnp.bfloat16 if cdt_name == "bfloat16" else jnp.float32)
     rgb_in = None if i == 0 else rgb
+    # the vjp body holds fwd residuals + cotangents per strip, roughly
+    # doubling live VMEM vs the forward — halve the strip rows
     g_net, g_rgb, gw = _bwd_call(
         net, rgb_in, g_net_n.astype(iodt), g_rgb_n.astype(iodt),
-        tuple(bw_list), i, R, cdt_name, interpret,
+        tuple(bw_list), i, max(R // 2, 1), cdt_name, interpret,
     )
     if g_rgb is None:
         g_rgb = jnp.zeros_like(rgb)
@@ -433,7 +437,7 @@ def fused_upsampler(
     n_blocks: int,
     compute_dtype=jnp.bfloat16,
     final_actvn: bool = True,
-    strip_rows: Tuple[int, ...] = (16, 16, 8),
+    strip_rows: Tuple[int, ...] = (16, 8, 4),
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Full fused decoder: featmap -> [B, img, img, 3]."""
