@@ -169,3 +169,27 @@ class VQAutoEncoder(nn.Module):
         qi = self.quantize.codebook_entry(indices)
         qa = self.quantize_au.codebook_entry(au_indices)
         return self.decode(qi, qa)
+
+    def decode_logit(self, logits, au_indices):
+        """Code logits [B, L, n_embed] (or ids [B, L]) -> image
+        (stage1_vocaset.py:120-128): top-1 over the logit distribution,
+        then decode through the codebook."""
+        ix = jnp.argmax(logits, axis=-1) if logits.ndim == 3 else logits
+        return self.decode_from_indices(ix, au_indices)
+
+
+def sample_code_logits(
+    rng, logits, sample: bool = True, temperature: float = 0.7
+):
+    """Sample code ids from logits (stage1_vocaset.py:130-149 get_logit):
+    temperature-scaled categorical sampling when `sample`, else top-1.
+    Returns (ids [B, L], probs [B, L, n_embed])."""
+    import jax
+
+    logits = logits / temperature
+    probs = jax.nn.softmax(logits, axis=-1)
+    if sample:
+        ix = jax.random.categorical(rng, logits, axis=-1)
+    else:
+        ix = jnp.argmax(probs, axis=-1)
+    return ix, probs

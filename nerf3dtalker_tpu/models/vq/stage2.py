@@ -147,15 +147,23 @@ class CodeTalker(nn.Module):
         motion_gt: jnp.ndarray,     # [B, T, vertice_dim] (template-relative)
         subject_onehot: jnp.ndarray,  # [B, n_subjects]
         dataset: str = "vocaset",
+        subject_onehot2: Optional[jnp.ndarray] = None,
+        style_weight: Optional[float] = None,
     ) -> jnp.ndarray:
-        """Teacher-forced code logits feature [B, T*face_quan, zquant]."""
+        """Teacher-forced code logits feature [B, T*face_quan, zquant].
+
+        `subject_onehot2` + `style_weight` blend two subjects' style
+        embeddings (the reference's style interpolation at test time,
+        stage2.py:108-114)."""
         T = motion_gt.shape[1]
         hidden = nn.Dense(self.feature_dim, name="audio_feature_map")(
             resample_frames(audio_feats, T)
         )
-        style = nn.Embed(self.n_subjects, self.feature_dim, name="style_emb")(
-            jnp.argmax(subject_onehot, axis=1)
-        )[:, None]
+        emb = nn.Embed(self.n_subjects, self.feature_dim, name="style_emb")
+        style = emb(jnp.argmax(subject_onehot, axis=1))[:, None]
+        if subject_onehot2 is not None and style_weight is not None:
+            style2 = emb(jnp.argmax(subject_onehot2, axis=1))[:, None]
+            style = style * style_weight + style2 * (1.0 - style_weight)
 
         shifted = jnp.concatenate(
             [jnp.zeros_like(motion_gt[:, :1]), motion_gt[:, :-1]], axis=1

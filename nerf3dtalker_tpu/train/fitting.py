@@ -217,3 +217,43 @@ def render_morphing(
 
     ts = np.linspace(0.0, 1.0, steps)
     return np.stack([np.asarray(render_one(jnp.float32(t))) for t in ts])
+
+
+def gaze_angle_error(input_gaze: np.ndarray, estimated_gaze: np.ndarray):
+    """(vertical, horizontal) absolute gaze angle errors
+    (Utils/RenderUtils.py:158-162 calculate_angle_error; averaged over a
+    sequence at :300)."""
+    err = np.abs(np.asarray(input_gaze) - np.asarray(estimated_gaze))
+    return float(err[0]), float(err[1])
+
+
+def render_with_gaze(
+    model: HeadNeRF, params, shape_code, appea_code, audio_style, cam,
+    gazes: np.ndarray,                # [N, 2] (pitch, yaw)
+    scale_factor: float = 1.0,
+):
+    """Gaze-redirected renders (Utils/RenderUtils.py:164-220
+    render_face_with_gaze): the gaze vector, tiled to the model's gaze
+    dim and scaled, overwrites the trailing gaze slice of the shape code
+    per frame. Requires a gaze-conditioned model (cfg.include_gaze)."""
+    cfg = model.cfg
+    assert cfg.include_gaze, "render_with_gaze needs cfg.include_gaze"
+    gd = cfg.eye_gaze_dim
+    xy, _ = ray_grid(cfg.featmap_size)
+    xy = jnp.asarray(xy)
+
+    @jax.jit
+    def render_one(gaze_feat):
+        return model.apply(
+            params, batch_xy=xy, shape_code=shape_code,
+            appea_code=appea_code, audio_style=audio_style,
+            Rmat=jnp.asarray(cam.Rmat), Tvec=jnp.asarray(cam.Tvec),
+            inv_inmat=jnp.asarray(cam.inv_inmat),
+            gaze=gaze_feat[None],
+        )["merge_img"][0]
+
+    out = []
+    for g in np.asarray(gazes, np.float32):
+        feat = np.tile(g, gd // len(g)) * scale_factor
+        out.append(np.asarray(render_one(jnp.asarray(feat))))
+    return np.stack(out)

@@ -75,8 +75,10 @@ def build_stage2_step(
             metrics,
         )
 
-    def predict(params, audio_feats, onehot, T: int):
-        """Autoregressive inference (reference stage2.py:102-140).
+    def predict(params, audio_feats, onehot, T: int,
+                onehot2=None, style_weight=None):
+        """Autoregressive inference (reference stage2.py:102-155), with
+        optional two-subject style interpolation (:108-114).
 
         The reference re-decodes the growing motion prefix each frame; the
         TPU-native form keeps shapes static: a fori_loop over frames runs
@@ -89,7 +91,10 @@ def build_stage2_step(
         Q = cfg.face_quan_num
 
         def body(t, buf):
-            codes = model.apply(params, audio_feats, buf, onehot)
+            codes = model.apply(
+                params, audio_feats, buf, onehot,
+                subject_onehot2=onehot2, style_weight=style_weight,
+            )
             quantized, _ = vq_apply["quantize"](codes)
             recon = vq_apply["decode"](quantized)      # [B, T, V3]
             frame = jax.lax.dynamic_slice_in_dim(recon, t, 1, axis=1)

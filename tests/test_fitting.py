@@ -115,3 +115,41 @@ def test_rotation_utils():
     np.testing.assert_allclose(np.asarray(R2), np.asarray(R), atol=1e-5)
     # gaze d6 finite
     assert np.isfinite(np.asarray(gaze_to_d6(jnp.asarray([0.2, -0.1])))).all()
+
+
+def test_render_with_gaze_and_angle_error():
+    """Gaze-redirect driver (RenderUtils.py:164-220) + angular error
+    metric (:158-162) on a gaze-conditioned tiny model."""
+    import jax
+
+    from nerf3dtalker_tpu.config import NeRFConfig
+    from nerf3dtalker_tpu.models import HeadNeRF
+    from nerf3dtalker_tpu.train.fitting import (
+        gaze_angle_error,
+        render_with_gaze,
+    )
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+
+    cfg = NeRFConfig(
+        featmap_size=8, featmap_nc=32, pred_img_size=32,
+        num_sample_coarse=8, mlp_hidden=32, include_gaze=True,
+    )
+    model = HeadNeRF(cfg)
+    xy, _ = ray_grid(cfg.featmap_size)
+    cam = base_cam(cfg.featmap_size)
+    shape = jnp.zeros((1, cfg.shape_code_dims))
+    appea = jnp.zeros((1, cfg.appea_code_dims))
+    aud = jnp.zeros((1, 64))
+    params = model.init(
+        jax.random.key(0), batch_xy=jnp.asarray(xy), shape_code=shape,
+        appea_code=appea, audio_style=aud, Rmat=jnp.asarray(cam.Rmat),
+        Tvec=jnp.asarray(cam.Tvec), inv_inmat=jnp.asarray(cam.inv_inmat),
+    )
+    gazes = np.array([[0.1, -0.2], [-0.3, 0.4]], np.float32)
+    frames = render_with_gaze(model, params, shape, appea, aud, cam, gazes)
+    assert frames.shape == (2, 32, 32, 3) and np.isfinite(frames).all()
+    # different gazes -> different renders
+    assert np.abs(frames[0] - frames[1]).max() > 0
+
+    ev, eh = gaze_angle_error(gazes[0], gazes[1])
+    np.testing.assert_allclose([ev, eh], [0.4, 0.6], atol=1e-6)

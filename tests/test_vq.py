@@ -98,3 +98,75 @@ def test_au_classifier_shapes_and_losses():
     t = jnp.asarray([[1.0], [0.0], [1.0]])
     assert float(au_bce_loss(prob, t)) > 0
     assert 0 <= float(au_dice_loss(prob, t)) <= 1
+
+
+def test_sample_code_logits_and_decode_logit():
+    """stage-1 sampling helpers (stage1_vocaset.py:120-149): categorical /
+    top-1 code sampling and logit decoding through the codebook."""
+    import jax
+
+    from nerf3dtalker_tpu.config import VQConfig
+    from nerf3dtalker_tpu.models.vq.stage1 import (
+        VQAutoEncoder,
+        sample_code_logits,
+    )
+
+    cfg = VQConfig(img_size=16, hidden_size=32, embed_dim=32, n_embed=64,
+                   num_hidden_layers=1)
+    vq = VQAutoEncoder(cfg)
+    img = jnp.zeros((1, 16, 16, 3))
+    au = jnp.zeros((1, cfg.n_au, cfg.au_dim))
+    params = vq.init(jax.random.key(0), img, au)
+
+    L = (16 * 32) // 32
+    logits = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, L, 64)).astype(np.float32)
+    )
+    ix, probs = sample_code_logits(jax.random.key(1), logits, sample=True)
+    assert ix.shape == (1, L) and probs.shape == (1, L, 64)
+    ix_top1, _ = sample_code_logits(jax.random.key(1), logits, sample=False)
+    np.testing.assert_array_equal(
+        np.asarray(ix_top1), np.argmax(np.asarray(logits), -1)
+    )
+
+    au_ix = jnp.zeros((1, cfg.n_au), jnp.int32)
+    rec = vq.apply(params, logits, au_ix, method=VQAutoEncoder.decode_logit)
+    rec2 = vq.apply(params, ix_top1, au_ix,
+                    method=VQAutoEncoder.decode_from_indices)
+    np.testing.assert_allclose(np.asarray(rec), np.asarray(rec2), atol=1e-6)
+
+
+def test_stage2_style_interpolation():
+    """Two-subject style blending at predict time (stage2.py:108-114):
+    weight 1.0 reproduces subject A, weight 0.0 subject B, and 0.5 is a
+    genuinely different output."""
+    import jax
+
+    from nerf3dtalker_tpu.config import VQConfig
+    from nerf3dtalker_tpu.models.vq.stage2 import CodeTalker
+
+    cfg = VQConfig(embed_dim=8, face_quan_num=2, n_embed=16)
+    model = CodeTalker(cfg, feature_dim=16, n_subjects=3, vertice_dim=12)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((1, 10, 768)).astype(np.float32))
+    motion = jnp.asarray(rng.standard_normal((1, 4, 12)).astype(np.float32))
+    oa = jax.nn.one_hot(jnp.asarray([0]), 3)
+    ob = jax.nn.one_hot(jnp.asarray([1]), 3)
+    params = model.init(jax.random.key(0), feats, motion, oa)
+    # zero-init feat_map head makes outputs identical; probe the style
+    # path through a non-zero head
+    params = jax.tree_util.tree_map_with_path(
+        lambda p, v: jnp.ones_like(v) * 0.01
+        if "feat_map" in jax.tree_util.keystr(p) else v, params,
+    )
+    a = model.apply(params, feats, motion, oa)
+    b = model.apply(params, feats, motion, ob)
+    w1 = model.apply(params, feats, motion, oa,
+                     subject_onehot2=ob, style_weight=1.0)
+    w0 = model.apply(params, feats, motion, oa,
+                     subject_onehot2=ob, style_weight=0.0)
+    mid = model.apply(params, feats, motion, oa,
+                      subject_onehot2=ob, style_weight=0.5)
+    np.testing.assert_allclose(np.asarray(w1), np.asarray(a), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(b), atol=1e-6)
+    assert np.abs(np.asarray(mid) - np.asarray(a)).max() > 0
