@@ -158,39 +158,61 @@ class Trainer:
     def validate(self, dump_dir: Optional[str] = None, epoch: int = 0) -> Dict[str, float]:
         if self.val_data is None:
             return {}
+        # under a mesh the eval step's batch shardings need B divisible by
+        # the data axis — validate in data-axis-sized batches there
+        bs = 1
+        if self.mesh is not None:
+            bs = int(self.mesh.shape.get("data", 1))
         ssims, psnrs, lpipss = [], [], []
-        for i, batch in enumerate(self.val_data.epoch(1, rng=None, drop_last=False)):
-            img, _ = self.fns.eval_step(self.state.params, batch)
-            pred = np.asarray(img[0])
-            gt = batch["gt_rgb"][0]
-            ssims.append(float(ssim_rgb(pred, gt)))
-            psnrs.append(float(psnr(pred, gt)))
-            if self.lpips is not None:
-                # LPIPS-alex, matching Eval_utils.py:108-115 (supply
-                # converted weights via convert_lpips_alex)
-                from nerf3dtalker_tpu.utils.metrics import lpips_alex
+        n_seen = 0
+        for batch in self.val_data.epoch(
+            bs, rng=None, drop_last=(bs > 1)
+        ):
+            ebatch = batch
+            if self.mesh is not None:
+                from nerf3dtalker_tpu.parallel.mesh import shard_batch
 
-                lp_params, lp_lins = self.lpips
-                lpipss.append(float(
-                    lpips_alex(lp_params, lp_lins, pred[None], gt[None])[0]
-                ))
-            if dump_dir:
-                # side-by-side GT|render dumps per val iter, viewable
-                # (talker_trainer.py:1203-1216 temp_image behaviour)
-                from nerf3dtalker_tpu.models.misc import draw_side_by_side
+                ebatch = shard_batch(batch, self.mesh)
+            imgs, _ = self.fns.eval_step(self.state.params, ebatch)
+            imgs = np.asarray(imgs)
+            for j in range(imgs.shape[0]):
+                pred = imgs[j]
+                gt = batch["gt_rgb"][j]
+                ssims.append(float(ssim_rgb(pred, gt)))
+                psnrs.append(float(psnr(pred, gt)))
+                if self.lpips is not None:
+                    # LPIPS-alex, matching Eval_utils.py:108-115 (supply
+                    # converted weights via convert_lpips_alex)
+                    from nerf3dtalker_tpu.utils.metrics import lpips_alex
 
-                d = os.path.join(dump_dir, f"epoch{epoch}")
-                os.makedirs(d, exist_ok=True)
-                side = draw_side_by_side(gt, pred)
-                arr = np.clip(np.asarray(side) * 255.0, 0, 255).astype(np.uint8)
-                try:
-                    from PIL import Image
+                    lp_params, lp_lins = self.lpips
+                    lpipss.append(float(
+                        lpips_alex(lp_params, lp_lins, pred[None], gt[None])[0]
+                    ))
+                if dump_dir:
+                    # side-by-side GT|render dumps per val iter, viewable
+                    # (talker_trainer.py:1203-1216 temp_image behaviour)
+                    from nerf3dtalker_tpu.models.misc import draw_side_by_side
 
-                    Image.fromarray(arr).save(
-                        os.path.join(d, f"val_{i:04d}.png")
-                    )
-                except ImportError:
-                    np.save(os.path.join(d, f"val_{i:04d}.npy"), side)
+                    d = os.path.join(dump_dir, f"epoch{epoch}")
+                    os.makedirs(d, exist_ok=True)
+                    side = draw_side_by_side(gt, pred)
+                    arr = np.clip(
+                        np.asarray(side) * 255.0, 0, 255
+                    ).astype(np.uint8)
+                    try:
+                        from PIL import Image
+
+                        Image.fromarray(arr).save(
+                            os.path.join(d, f"val_{n_seen:04d}.png")
+                        )
+                    except ImportError:
+                        np.save(
+                            os.path.join(d, f"val_{n_seen:04d}.npy"), side
+                        )
+                n_seen += 1
+        if not ssims:
+            return {}
         out = {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs))}
         if lpipss:
             out["LPIPS"] = float(np.mean(lpipss))

@@ -119,3 +119,20 @@ def test_validate_reports_lpips_and_stamps_checkpoint(tmp_path):
     for root, _, files in os.walk(dump_root):
         pngs += [f for f in files if f.endswith(".png")]
     assert pngs
+
+
+def test_trainer_full_cycle_under_mesh(tmp_path):
+    """Epoch + validation through the sharded step fns on the 8-device
+    virtual mesh (validation batches sized to the data axis)."""
+    from nerf3dtalker_tpu.parallel import make_mesh
+
+    mesh = make_mesh(data=2, rays=4)
+    tc = TrainConfig(
+        batch_size=2, epochs=1, lr=1e-3, bf16_compute=False,
+        use_vgg_loss=False, ckpt_dir=str(tmp_path / "ckpt"),
+    )
+    train = synthetic_dataset(TINY, num_frames=4, seed=0)
+    val = synthetic_dataset(TINY, num_frames=2, seed=1)
+    t = Trainer(TINY, tc, train, val, mesh=mesh)
+    hist = t.train(epochs=1)
+    assert "SSIM" in hist[0] and np.isfinite(hist[0]["total_loss"])
