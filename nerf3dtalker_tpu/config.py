@@ -157,6 +157,9 @@ class TrainConfig:
     # keys. Empty -> deterministic random-projection VGG features (the
     # loss term is still computed; see models/perceptual.py:load_vgg16).
     vgg_weights: str = ""
+    # precompute the masked-GT VGG activations per frame (parameter-
+    # independent) so each step runs only the prediction branch
+    vgg_precompute_gt: bool = True
     seed: int = 0
     # route training batches through the C++ threaded prefetcher
     # (native/nerf3dt_native.cpp); falls back to the Python loader if the

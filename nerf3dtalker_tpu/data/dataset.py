@@ -61,8 +61,38 @@ class FrameDataset:
             "Tvec": self.arrays["Tvec"][idx],
             "inv_inmat": self.arrays["inv_inmat"][idx],
         }
+        for i in range(4):
+            k = f"vgg_f{i}"       # precomputed masked-GT VGG activations
+            if k in self.arrays:
+                b[k] = self.arrays[k][idx]
         b["xy"] = np.tile(self.xy, (len(idx), 1, 1))
         return b
+
+    def precompute_gt_vgg(
+        self, vgg_params, bg_value: float = 1.0, compute_dtype=None,
+        batch: int = 4,
+    ) -> None:
+        """Precompute the masked-GT VGG block activations for every frame
+        (they do not depend on parameters — the target branch of the
+        perceptual loss, HeadNeRFLossUtils.py:148-153 — so computing them
+        once here halves the VGG cost of every training step)."""
+        import jax.numpy as jnp
+
+        from nerf3dtalker_tpu.models.perceptual import vgg_features
+
+        outs = [[] for _ in range(4)]
+        T = self.num_frames
+        for s in range(0, T, batch):
+            gt = jnp.asarray(self.arrays["images"][s : s + batch])
+            head = jnp.asarray(
+                (self.arrays["head_mask"][s : s + batch] >= 0.5)
+            ).astype(gt.dtype)
+            masked = gt * head + bg_value * (1.0 - head)
+            feats = vgg_features(vgg_params, masked, compute_dtype=compute_dtype)
+            for i, f in enumerate(feats):
+                outs[i].append(np.asarray(f))
+        for i in range(4):
+            self.arrays[f"vgg_f{i}"] = np.concatenate(outs[i], axis=0)
 
     def epoch(
         self, batch_size: int, rng: Optional[np.random.Generator] = None,

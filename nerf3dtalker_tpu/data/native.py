@@ -146,8 +146,13 @@ class FramePrefetcher:
     def __init__(self, dataset, batch_size: int, seed: int = 0):
         T = dataset.num_frames
         self._shapes = {}
+        # per-frame fields, plus any precomputed VGG activation planes
+        self._fields = list(self._FIELDS) + [
+            (f"vgg_f{i}", f"vgg_f{i}") for i in range(4)
+            if f"vgg_f{i}" in dataset.arrays
+        ]
         cols = []
-        for out_key, key in self._FIELDS:
+        for out_key, key in self._fields:
             a = np.asarray(dataset.arrays[key], np.float32)
             self._shapes[out_key] = a.shape[1:]
             cols.append(a.reshape(T, -1))
@@ -159,7 +164,7 @@ class FramePrefetcher:
     def next(self) -> dict:
         rows = self._pf.next()
         out, o = {}, 0
-        for out_key, _ in self._FIELDS:
+        for out_key, _ in self._fields:
             shp = self._shapes[out_key]
             n = int(np.prod(shp)) if shp else 1
             out[out_key] = rows[:, o : o + n].reshape((rows.shape[0],) + shp)

@@ -60,17 +60,43 @@ def preprocess(img: jnp.ndarray, resize: bool = True) -> jnp.ndarray:
     return x
 
 
+def vgg_features(
+    vgg_params, img: jnp.ndarray, resize: bool = True, compute_dtype=None
+) -> List[jnp.ndarray]:
+    """The four perceptual block activations for [B,H,W,3] in [0,1].
+
+    With `compute_dtype=jnp.bfloat16` the convs run on the MXU at bf16
+    (the framework's AMP policy, SURVEY §2.9 P5); activations return f32.
+    """
+    x = preprocess(img, resize)
+    params = vgg_params
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        params = jax.tree.map(lambda a: a.astype(compute_dtype), vgg_params)
+    feats = VGG16Features().apply(params, x)
+    return [f.astype(jnp.float32) for f in feats]
+
+
 def vgg_perceptual_loss(
     vgg_params,
     pred: jnp.ndarray,
-    target: jnp.ndarray,
+    target: jnp.ndarray = None,
     feature_layers: Sequence[int] = (0, 1, 2, 3),
     resize: bool = True,
+    compute_dtype=None,
+    target_feats: Sequence[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Sum of per-block L1 distances (HeadNeRFLossUtils.py:50-64)."""
-    model = VGG16Features()
-    fx = model.apply(vgg_params, preprocess(pred, resize))
-    fy = model.apply(vgg_params, preprocess(target, resize))
+    """Sum of per-block L1 distances (HeadNeRFLossUtils.py:50-64).
+
+    Pass `target_feats` (from :func:`vgg_features`, precomputed offline
+    per frame — they don't depend on parameters) to skip the target
+    branch's forward in the training step.
+    """
+    fx = vgg_features(vgg_params, pred, resize, compute_dtype)
+    fy = (
+        list(target_feats) if target_feats is not None
+        else vgg_features(vgg_params, target, resize, compute_dtype)
+    )
     loss = 0.0
     for i in feature_layers:
         loss = loss + jnp.mean(jnp.abs(fx[i] - fy[i]))

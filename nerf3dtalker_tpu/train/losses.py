@@ -34,8 +34,15 @@ def headnerf_losses(
     head_mask: jnp.ndarray,       # [B, H, W, 1] (>=0.5 is head)
     bg_value: float = 1.0,
     vgg_params=None,
+    vgg_compute_dtype=None,
+    gt_vgg_feats=None,            # precomputed vgg_features(masked GT)
 ) -> Dict[str, jnp.ndarray]:
-    """Data losses (HeadNeRFLossUtils.py:125-156 + total at :196-236)."""
+    """Data losses (HeadNeRFLossUtils.py:125-156 + total at :196-236).
+
+    `gt_vgg_feats`: the masked-GT branch's block activations precomputed
+    offline per frame (they are parameter-independent), halving the VGG
+    cost of the step — SURVEY §7 'precompute, don't inline'.
+    """
     head = (head_mask >= 0.5).astype(gt_rgb.dtype)
     nonhead = 1.0 - head
 
@@ -52,8 +59,13 @@ def headnerf_losses(
         "nonhead_loss": nonhead_loss,
     }
     if vgg_params is not None:
-        masked_gt = gt_rgb * head + bg_value * nonhead
-        losses["vgg"] = vgg_perceptual_loss(vgg_params, res_img, masked_gt)
+        masked_gt = None
+        if gt_vgg_feats is None:
+            masked_gt = gt_rgb * head + bg_value * nonhead
+        losses["vgg"] = vgg_perceptual_loss(
+            vgg_params, res_img, masked_gt,
+            compute_dtype=vgg_compute_dtype, target_feats=gt_vgg_feats,
+        )
 
     losses["total_loss"] = sum(losses.values())
     return losses

@@ -68,6 +68,7 @@ def build_step_fns(
     compute_dtype=None,
     mesh=None,
     use_fused: Optional[bool] = None,
+    precomputed_vgg: bool = False,
 ) -> StepFns:
     """Construct (train_step, eval_step, render, init) closures.
 
@@ -128,12 +129,23 @@ def build_step_fns(
         )
         return pred
 
+    # VGG perceptual loss runs at the step compute dtype (bf16 AMP policy)
+    # and, when the dataset carries precomputed masked-GT activations
+    # (FrameDataset.precompute_gt_vgg), skips the target branch entirely
+    vgg_cdt = cdt if cdt == jnp.bfloat16 else None
+
+    def _gt_feats(batch):
+        if precomputed_vgg:
+            return [batch[f"vgg_f{i}"] for i in range(4)]
+        return None
+
     def loss_fn(params, batch, rng):
         pred = forward(params, batch, rng, deterministic=False)
         losses = headnerf_losses(
             pred, batch["gt_rgb"], batch["head_mask"],
             bg_value=1.0 if nerf_cfg.bg_type == "white" else 0.0,
-            vgg_params=vgg_params,
+            vgg_params=vgg_params, vgg_compute_dtype=vgg_cdt,
+            gt_vgg_feats=_gt_feats(batch),
         )
         return losses["total_loss"], losses
 
@@ -156,7 +168,8 @@ def build_step_fns(
         losses = headnerf_losses(
             pred, batch["gt_rgb"], batch["head_mask"],
             bg_value=1.0 if nerf_cfg.bg_type == "white" else 0.0,
-            vgg_params=vgg_params,
+            vgg_params=vgg_params, vgg_compute_dtype=vgg_cdt,
+            gt_vgg_feats=_gt_feats(batch),
         )
         return pred["merge_img"], losses
 
@@ -201,6 +214,9 @@ def build_step_fns(
         "audio_exp": data_sh, "Rmat": data_sh, "Tvec": data_sh,
         "inv_inmat": data_sh, "xy": ray_sh,
     }
+    if precomputed_vgg:
+        for i in range(4):
+            batch_sh[f"vgg_f{i}"] = data_sh
     return StepFns(
         train_step=jax.jit(
             train_step, in_shardings=(repl, batch_sh, repl),

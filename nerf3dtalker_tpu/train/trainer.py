@@ -53,10 +53,23 @@ class Trainer:
                 "VGG perceptual loss on (%s weights)",
                 "converted" if train_cfg.vgg_weights else "random-feature",
             )
+        precomputed_vgg = False
+        if vgg_params is not None and train_cfg.vgg_precompute_gt:
+            import jax.numpy as jnp
+
+            vgg_cdt = jnp.bfloat16 if train_cfg.bf16_compute else None
+            bg = 1.0 if nerf_cfg.bg_type == "white" else 0.0
+            for ds in (train_data, val_data):
+                if ds is not None and "vgg_f0" not in ds.arrays:
+                    ds.precompute_gt_vgg(
+                        vgg_params, bg_value=bg, compute_dtype=vgg_cdt
+                    )
+            precomputed_vgg = True
         steps_per_epoch = max(1, len(train_data) // train_cfg.batch_size)
         self.fns = build_step_fns(
             nerf_cfg, train_cfg, steps_per_epoch=steps_per_epoch,
             vgg_params=vgg_params, mesh=mesh,
+            precomputed_vgg=precomputed_vgg,
         )
         self.mesh = mesh
         self.lpips = lpips

@@ -68,3 +68,27 @@ def test_bf16_compute_path():
     # params stay f32 even with bf16 compute
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.dtype == jnp.float32
+
+
+def test_vgg_precomputed_gt_feats_match_inline():
+    """Precomputed masked-GT VGG activations (parameter-independent)
+    produce the identical loss to the inline two-branch form."""
+    import jax
+
+    from nerf3dtalker_tpu.models.perceptual import (
+        init_vgg16,
+        vgg_features,
+        vgg_perceptual_loss,
+    )
+
+    rng = np.random.default_rng(0)
+    vggp = init_vgg16(jax.random.key(0))
+    pred = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    gt = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    inline = vgg_perceptual_loss(vggp, pred, gt)
+    feats = vgg_features(vggp, gt)
+    pre = vgg_perceptual_loss(vggp, pred, target_feats=feats)
+    np.testing.assert_allclose(float(inline), float(pre), rtol=1e-6)
+    # bf16 compute stays close to the f32 loss
+    bf16 = vgg_perceptual_loss(vggp, pred, gt, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(float(inline), float(bf16), rtol=5e-2)
