@@ -200,13 +200,9 @@ def cmd_animate(args):
     from nerf3dtalker_tpu.train.animate import animate_sequence
     from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
 
-    import wave
+    from nerf3dtalker_tpu.data.mel import read_wav_mono
 
-    with wave.open(args.wav, "rb") as f:
-        pcm = np.frombuffer(
-            f.readframes(f.getnframes()), np.int16
-        ).astype(np.float32) / 32768.0
-        sr = f.getframerate()
+    pcm, sr = read_wav_mono(args.wav)
     mels = per_frame_mel_chunks(pcm, sr=sr, fps=args.fps)
     if args.max_frames:
         mels = mels[: args.max_frames]
@@ -320,13 +316,9 @@ def cmd_infer_coeff(args):
 
         wav_path = synthesize_placeholder(args.text)
         print(f"tts -> {wav_path}")
-    import wave
+    from nerf3dtalker_tpu.data.mel import read_wav_mono
 
-    with wave.open(wav_path, "rb") as f:
-        pcm = np.frombuffer(
-            f.readframes(f.getnframes()), np.int16
-        ).astype(np.float32) / 32768.0
-        sr = f.getframerate()
+    pcm, sr = read_wav_mono(wav_path)
     mels = per_frame_mel_chunks(pcm, sr=sr, fps=args.fps)
     T = len(mels)
     ratios = blink_ratio_sequence(T, np.random.default_rng(args.seed))
@@ -353,12 +345,9 @@ def cmd_preprocess(args):
     frames = np.load(args.frames) if args.frames.endswith(".npy") else None
     if frames is None:
         raise SystemExit("--frames must be a [T,H,W,3] .npy stack")
-    import wave
+    from nerf3dtalker_tpu.data.mel import read_wav_mono
 
-    with wave.open(args.wav, "rb") as f:
-        pcm = np.frombuffer(
-            f.readframes(f.getnframes()), np.int16
-        ).astype(np.float32) / 32768.0
+    pcm, _ = read_wav_mono(args.wav)
     appliers = {}
     if args.strict:
         from nerf3dtalker_tpu.data.preprocess import build_appliers
@@ -440,13 +429,9 @@ def cmd_infer_stage2(args):
     from nerf3dtalker_tpu.train.vq_eval import eval_stage2, frame_vq_apply
     from nerf3dtalker_tpu.train.vq_trainer import build_vq_step
 
-    import wave
+    from nerf3dtalker_tpu.data.mel import read_wav_mono
 
-    with wave.open(args.wav, "rb") as f:
-        pcm = np.frombuffer(
-            f.readframes(f.getnframes()), np.int16
-        ).astype(np.float32) / 32768.0
-        sr = f.getframerate()
+    pcm, sr = read_wav_mono(args.wav)
     T = args.frames or max(1, int(len(pcm) / sr * args.fps))
 
     # audio features: converted HF weights when provided, else a small
@@ -470,7 +455,12 @@ def cmd_infer_stage2(args):
             num_conv_pos_embedding_groups=4,
         )
         w2v_params = enc.init(jax.random.key(0), jnp.zeros((1, 1600)))
-    feats = encode_audio(w2v_params, jnp.asarray(pcm[None]), T, model=enc)
+    from nerf3dtalker_tpu.models.vq.wav2vec import normalize_wav
+
+    # HF base checkpoints expect zero-mean/unit-var input (do_normalize)
+    feats = encode_audio(
+        w2v_params, normalize_wav(jnp.asarray(pcm[None])), T, model=enc
+    )
 
     cfg = VQConfig(
         img_size=args.img_size, hidden_size=args.hidden,

@@ -160,3 +160,38 @@ def blink_ratio_sequence(num_frames: int, rng: np.random.Generator) -> np.ndarra
         else:
             break
     return ratio
+
+
+def read_wav_mono(path: str, target_sr: int = 16000):
+    """Read a wav file to mono float32 in [-1, 1] at `target_sr`.
+
+    Multi-channel audio is averaged to mono (interleaved frames are
+    de-interleaved first — feeding them flat would double the apparent
+    length and scramble the samples), 8/16/32-bit PCM widths are scaled,
+    and off-rate files are linearly resampled. Returns (wav, target_sr).
+    """
+    import wave
+
+    with wave.open(path, "rb") as f:
+        sr = f.getframerate()
+        nch = f.getnchannels()
+        width = f.getsampwidth()
+        raw = f.readframes(f.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        pcm = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    elif width == 1:
+        pcm = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported wav sample width {width}")
+    if nch > 1:
+        pcm = pcm.reshape(-1, nch).mean(axis=1)
+    if sr != target_sr:
+        n_out = int(round(len(pcm) * target_sr / sr))
+        pos = np.linspace(0.0, len(pcm) - 1.0, n_out)
+        lo = np.floor(pos).astype(np.int64)
+        hi = np.minimum(lo + 1, len(pcm) - 1)
+        w = (pos - lo).astype(np.float32)
+        pcm = pcm[lo] * (1.0 - w) + pcm[hi] * w
+    return pcm.astype(np.float32), target_sr

@@ -152,8 +152,6 @@ def build_appliers(
     reference basis (models/face3d/nl3dmm.load_nl3dmm_basis) for the full
     34650-point model.
     """
-    import functools
-
     import jax
     import jax.numpy as jnp
 
@@ -244,23 +242,16 @@ def build_appliers(
     )
 
     def fit3dmm_fn(imgs, masks, lms):
-        from nerf3dtalker_tpu.models.face3d import nl3dmm as mod
-
+        # the render path reads the mesh size off the param shapes, so
+        # the reduced PN-point mesh needs no special handling
         B = imgs.shape[0]
-        orig_nl, orig_tex = mod.NonLinear3DMM, mod.Linear3DMMTexture
-        mod.NonLinear3DMM = functools.partial(orig_nl, point_num=PN)
-        mod.Linear3DMMTexture = functools.partial(orig_tex, point_num=PN)
-        try:
-            return fit_3dmm(
-                geo_p, tex_p, jnp.asarray(imgs), jnp.asarray(masks),
-                jnp.asarray(lms), jnp.tile(inmat, (B, 1, 1)), faces,
-                lm_index, skinmask=jnp.ones((PN,)),
-                stage1_iters=fit_iters[0], stage2_iters=fit_iters[1],
-                chunk=min(512, S * S),
-            )
-        finally:
-            mod.NonLinear3DMM = orig_nl
-            mod.Linear3DMMTexture = orig_tex
+        return fit_3dmm(
+            geo_p, tex_p, jnp.asarray(imgs), jnp.asarray(masks),
+            jnp.asarray(lms), jnp.tile(inmat, (B, 1, 1)), faces,
+            lm_index, skinmask=jnp.ones((PN,)),
+            stage1_iters=fit_iters[0], stage2_iters=fit_iters[1],
+            chunk=min(512, S * S),
+        )
 
     return {
         "bisenet_apply": bisenet_apply,

@@ -121,9 +121,12 @@ def render_nl3dmm(
 ) -> NL3DMMRenderResult:
     """Full differentiable 3DMM render (NL3DMMRenderer.forward :216-379):
     decode geometry + texture, transform world->cam, SH shade, rasterize,
-    project landmarks."""
-    geo = NonLinear3DMM().apply(geo_params, iden_code, expr_code)
-    tex = Linear3DMMTexture().apply(tex_params, text_code)
+    project landmarks. The mesh size is read off the param shapes, so
+    reduced meshes (tests, build_appliers) need no module patching."""
+    pn_geo = geo_params["params"]["geo_fc3"]["bias"].shape[-1] // 3
+    pn_tex = tex_params["params"]["mu_tex"].shape[-1] // 3
+    geo = NonLinear3DMM(point_num=pn_geo).apply(geo_params, iden_code, expr_code)
+    tex = Linear3DMMTexture(point_num=pn_tex).apply(tex_params, text_code)
 
     verts_cam = jnp.einsum("bij,bvj->bvi", w2c_Rmat, geo) + w2c_Tvec[:, None, :]
     normals = vertex_normals(verts_cam, faces)

@@ -187,9 +187,7 @@ class HeadNeRF(nn.Module):
         # matmul-form PE writes straight into the kernel's [N, PE_PAD]
         # layout; sp.pts (lane-hostile [..., 3]) is never materialized —
         # XLA dead-code-eliminates it
-        pe_live = cfg.vp_pe_dims
-        pe_pad = max(fr.PE_PAD, -(-pe_live // 8) * 8) if pe_live >= 63 \
-            else -(-pe_live // 8) * 8
+        pe_pad = fr.pe_pad_for(cfg.vp_pe_dims)
         pe = positional_encoding_rays(
             rays.origins, rays.directions, rays.lengths, sp.zvals,
             cfg.vp_n_freqs, cfg.vp_include_input, pad_to=pe_pad,

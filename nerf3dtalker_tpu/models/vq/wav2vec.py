@@ -161,9 +161,36 @@ def encode_audio(
     return resample_frames_aligned(h, frame_num)
 
 
+def _check_hf_arch(c) -> None:
+    """This port implements the wav2vec2-BASE topology (group-norm conv0,
+    post-norm encoder) — the variant the reference builds on. Refuse the
+    'layer'-norm / stable-layer-norm large variants instead of silently
+    converting them wrong."""
+    if getattr(c, "feat_extract_norm", "group") != "group":
+        raise NotImplementedError(
+            "flax Wav2Vec2Encoder supports feat_extract_norm='group' "
+            f"(base models); got {c.feat_extract_norm!r}"
+        )
+    if getattr(c, "do_stable_layer_norm", False):
+        raise NotImplementedError(
+            "flax Wav2Vec2Encoder implements the post-norm (base) layer "
+            "ordering; do_stable_layer_norm=True models are unsupported"
+        )
+
+
+def normalize_wav(wav: jnp.ndarray, eps: float = 1e-7) -> jnp.ndarray:
+    """Per-utterance zero-mean/unit-variance normalization ([B, N]),
+    matching the HF Wav2Vec2 feature extractor's do_normalize=True
+    preprocessing that the pretrained base checkpoints expect."""
+    mean = jnp.mean(wav, axis=-1, keepdims=True)
+    var = jnp.var(wav, axis=-1, keepdims=True)
+    return (wav - mean) / jnp.sqrt(var + eps)
+
+
 def config_from_hf(torch_model) -> Wav2Vec2Encoder:
     """Build a matching flax encoder from a HF torch Wav2Vec2Model."""
     c = torch_model.config
+    _check_hf_arch(c)
     return Wav2Vec2Encoder(
         conv_dim=tuple(c.conv_dim),
         conv_kernel=tuple(c.conv_kernel),
@@ -185,6 +212,8 @@ def convert_hf_wav2vec2(torch_model) -> Dict:
     positional conv resolves to its effective weight.
     """
     import numpy as np
+
+    _check_hf_arch(torch_model.config)
 
     def t2j(t):
         return jnp.asarray(np.asarray(t.detach().cpu(), dtype=np.float32))

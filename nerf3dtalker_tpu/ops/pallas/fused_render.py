@@ -49,6 +49,12 @@ NS = 64          # samples per ray (HeadNeRFOptions.py:20)
 FEAT = 256       # featmap_nc
 
 
+def pe_pad_for(p_live: int) -> int:
+    """Sublane-friendly padded PE width (63 -> 64). The single source of
+    truth shared by pack_weights and the model's PE assembly."""
+    return -(-p_live // 8) * 8
+
+
 def _mlp_tile(pe, w0p, wh, w5p, w5x, wd, wr0, wr1, wr2,
               b0, bh, b5, bd, br0, br1, br2, dtype):
     """Point MLP over one tile: pe [N, PE_PAD] -> (rgb [N, FEAT], sigma [N])."""
@@ -237,7 +243,7 @@ def pack_weights(mlp_params: dict, shape_code, appea_code, audio_style) -> dict:
     S = shape_code.shape[-1]
     A = audio_style.shape[-1]
     P_LIVE = p["fea_0_kernel"].shape[0] - S - A
-    pe_pad = max(PE_PAD, -(-P_LIVE // 8) * 8) if P_LIVE >= 63 else -(-P_LIVE // 8) * 8
+    pe_pad = pe_pad_for(P_LIVE)
 
     def pad_pe_rows(k):
         return jnp.pad(k, ((0, pe_pad - P_LIVE), (0, 0)))

@@ -132,7 +132,8 @@ def fit_3dmm(
             s["iden"], s["expr"], s["text"], s["gamma"],
             R, s["tvec"], inmat, faces, lm_index, H, W, chunk=chunk,
         )
-        vcol = Linear3DMMTexture().apply(tex_params, s["text"])
+        pn = tex_params["params"]["mu_tex"].shape[-1] // 3
+        vcol = Linear3DMMTexture(point_num=pn).apply(tex_params, s["text"])
         return fitting_losses(
             render, gt_imgs, head_mask, gt_lm2d, vcol, skinmask,
             s["iden"], s["expr"], s["text"], s["gamma"],

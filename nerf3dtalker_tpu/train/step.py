@@ -139,6 +139,13 @@ def build_step_fns(
             return [batch[f"vgg_f{i}"] for i in range(4)]
         return None
 
+    def _filter(batch):
+        # datasets may carry precomputed VGG planes the step isn't using;
+        # drop them so the jitted pytree/sharding structures stay fixed
+        if precomputed_vgg:
+            return batch
+        return {k: v for k, v in batch.items() if not k.startswith("vgg_f")}
+
     def loss_fn(params, batch, rng):
         pred = forward(params, batch, rng, deterministic=False)
         losses = headnerf_losses(
@@ -193,9 +200,11 @@ def build_step_fns(
         return TrainState(params, optimizer.init(params), jnp.zeros((), jnp.int32))
 
     if mesh is None:
+        jit_train = jax.jit(train_step)
+        jit_eval = jax.jit(eval_step)
         return StepFns(
-            train_step=jax.jit(train_step),
-            eval_step=jax.jit(eval_step),
+            train_step=lambda st, b, r: jit_train(st, _filter(b), r),
+            eval_step=lambda p, b: jit_eval(p, _filter(b)),
             render=jax.jit(render),
             init=init,
         )
@@ -217,15 +226,22 @@ def build_step_fns(
     if precomputed_vgg:
         for i in range(4):
             batch_sh[f"vgg_f{i}"] = data_sh
+    jit_train = jax.jit(
+        train_step, in_shardings=(repl, batch_sh, repl),
+        out_shardings=(repl, repl),
+    )
+    jit_eval = jax.jit(
+        eval_step, in_shardings=(repl, batch_sh),
+        out_shardings=(data_sh, repl),
+    )
+    render_sh = {k: v for k, v in batch_sh.items()
+                 if not k.startswith("vgg_f")}
+    jit_render = jax.jit(render, in_shardings=(repl, render_sh))
     return StepFns(
-        train_step=jax.jit(
-            train_step, in_shardings=(repl, batch_sh, repl),
-            out_shardings=(repl, repl),
+        train_step=lambda st, b, r: jit_train(st, _filter(b), r),
+        eval_step=lambda p, b: jit_eval(p, _filter(b)),
+        render=lambda p, b: jit_render(
+            p, {k: v for k, v in b.items() if k in render_sh}
         ),
-        eval_step=jax.jit(
-            eval_step, in_shardings=(repl, batch_sh),
-            out_shardings=(data_sh, repl),
-        ),
-        render=jax.jit(render, in_shardings=(repl, batch_sh)),
         init=init,
     )

@@ -55,15 +55,23 @@ class Trainer:
             )
         precomputed_vgg = False
         if vgg_params is not None and train_cfg.vgg_precompute_gt:
+            import jax
             import jax.numpy as jnp
 
             vgg_cdt = jnp.bfloat16 if train_cfg.bf16_compute else None
             bg = 1.0 if nerf_cfg.bg_type == "white" else 0.0
+            # fingerprint the (weights, bg, dtype) the activations were
+            # computed with — stale caches from other weights are recomputed
+            leaf = jax.tree_util.tree_leaves(vgg_params)[0]
+            fp = (float(jnp.sum(jnp.abs(leaf))), bg, str(vgg_cdt))
             for ds in (train_data, val_data):
-                if ds is not None and "vgg_f0" not in ds.arrays:
+                if ds is None:
+                    continue
+                if getattr(ds, "vgg_fingerprint", None) != fp:
                     ds.precompute_gt_vgg(
                         vgg_params, bg_value=bg, compute_dtype=vgg_cdt
                     )
+                    ds.vgg_fingerprint = fp
             precomputed_vgg = True
         steps_per_epoch = max(1, len(train_data) // train_cfg.batch_size)
         self.fns = build_step_fns(
@@ -84,7 +92,7 @@ class Trainer:
                     train_data, train_cfg.batch_size, seed=train_cfg.seed
                 )
                 log.info("native C++ batch prefetcher enabled")
-            except ImportError as e:
+            except (ImportError, OSError) as e:   # build failed OR bad .so
                 log.warning("native prefetcher unavailable (%s); "
                             "falling back to the Python loader", e)
 
@@ -206,24 +214,22 @@ class Trainer:
                     # side-by-side GT|render dumps per val iter, viewable
                     # (talker_trainer.py:1203-1216 temp_image behaviour)
                     from nerf3dtalker_tpu.models.misc import draw_side_by_side
+                    from nerf3dtalker_tpu.utils.video import write_png
 
                     d = os.path.join(dump_dir, f"epoch{epoch}")
                     os.makedirs(d, exist_ok=True)
-                    side = draw_side_by_side(gt, pred)
-                    arr = np.clip(
-                        np.asarray(side) * 255.0, 0, 255
-                    ).astype(np.uint8)
-                    try:
-                        from PIL import Image
-
-                        Image.fromarray(arr).save(
-                            os.path.join(d, f"val_{n_seen:04d}.png")
-                        )
-                    except ImportError:
-                        np.save(
-                            os.path.join(d, f"val_{n_seen:04d}.npy"), side
-                        )
+                    write_png(
+                        os.path.join(d, f"val_{n_seen:04d}.png"),
+                        draw_side_by_side(gt, pred),
+                    )
                 n_seen += 1
+        if bs > 1:
+            skipped = len(self.val_data) - n_seen
+            if skipped:
+                log.warning(
+                    "validate: %d val frame(s) skipped (val set not "
+                    "divisible by the mesh data axis %d)", skipped, bs,
+                )
         if not ssims:
             return {}
         out = {"SSIM": float(np.mean(ssims)), "PSNR": float(np.mean(psnrs))}

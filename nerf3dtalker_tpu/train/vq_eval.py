@@ -27,14 +27,7 @@ from nerf3dtalker_tpu.models.vq.stage1 import VQAutoEncoder
 from nerf3dtalker_tpu.utils.mesh_metrics import fdd, lip_vertex_error
 
 
-def _write_png(path: str, img01: np.ndarray) -> None:
-    arr = np.clip(np.asarray(img01) * 255.0, 0, 255).astype(np.uint8)
-    try:
-        from PIL import Image
-
-        Image.fromarray(arr).save(path)
-    except ImportError:
-        np.save(path + ".npy", img01)
+from nerf3dtalker_tpu.utils.video import write_png as _write_png
 
 
 def reconstruct_split(

@@ -96,3 +96,15 @@ def enhance_frames(
 ) -> np.ndarray:
     """face_enhancer.py interface: batch frames through an enhancer."""
     return enhancer(frames)
+
+
+def write_png(path: str, img01: np.ndarray) -> None:
+    """Write a [H, W, 3] float image in [0, 1] as a viewable PNG
+    (falls back to .npy when PIL is unavailable)."""
+    arr = np.clip(np.asarray(img01) * 255.0, 0, 255).astype(np.uint8)
+    try:
+        from PIL import Image
+
+        Image.fromarray(arr).save(path)
+    except ImportError:
+        np.save(path + ".npy", img01)
