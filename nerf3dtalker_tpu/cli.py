@@ -513,6 +513,50 @@ def cmd_infer_stage2(args):
     }))
 
 
+def cmd_export(args):
+    """Serialize the flagship forward as a standalone StableHLO artifact
+    (deployment export; the reference's torch2onnx.py analog)."""
+    import numpy as np
+
+    from nerf3dtalker_tpu.config import NeRFConfig
+    from nerf3dtalker_tpu.utils.export import export_headnerf
+
+    cfg = NeRFConfig(featmap_size=args.featmap_size,
+                     pred_img_size=args.img_size)
+    params = None
+    if args.ckpt:
+        import jax
+
+        from nerf3dtalker_tpu.models import HeadNeRF
+        from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+        from nerf3dtalker_tpu.utils.checkpoints import (
+            restore_checkpoint, soft_load,
+        )
+
+        model = HeadNeRF(cfg, use_fused=False)
+        xy, _ = ray_grid(cfg.featmap_size)
+        cam = base_cam(cfg.featmap_size)
+        import jax.numpy as jnp
+
+        target = model.init(
+            jax.random.key(args.seed),
+            batch_xy=jnp.asarray(xy),
+            shape_code=jnp.zeros((1, cfg.shape_code_dims)),
+            appea_code=jnp.zeros((1, cfg.appea_code_dims)),
+            audio_style=jnp.zeros((1, cfg.audio_style_dims)),
+            Rmat=jnp.asarray(cam.Rmat),
+            Tvec=jnp.asarray(cam.Tvec),
+            inv_inmat=jnp.asarray(cam.inv_inmat),
+        )
+        state, _meta = restore_checkpoint(args.ckpt, None)
+        p = state["params"] if "params" in state else state
+        if "nerf" in p:
+            p = p["nerf"]
+        params = soft_load(target, p)
+    blob = export_headnerf(cfg, params=params, path=args.out)
+    print(json.dumps({"out": args.out, "bytes": len(blob)}))
+
+
 def cmd_bench(args):
     import runpy
 
@@ -634,6 +678,12 @@ def main(argv=None):
 
     pb = sub.add_parser("bench")
     pb.set_defaults(fn=cmd_bench)
+
+    px = sub.add_parser("export", help="serialize forward as StableHLO")
+    _add_common(px)
+    px.add_argument("--ckpt", type=str, default="")
+    px.add_argument("--out", type=str, default="headnerf.n3dt")
+    px.set_defaults(fn=cmd_export)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -89,7 +89,9 @@ def _registry() -> Dict[str, Callable]:
     from nerf3dtalker_tpu.models.bisenet import BiSeNet
     from nerf3dtalker_tpu.models.fan import FAN
     from nerf3dtalker_tpu.models.lipreader import VisualFrontend
-    from nerf3dtalker_tpu.models.resnets import IResNet, ReconNet
+    from nerf3dtalker_tpu.models.resnets import (
+        IResNet, MobileFaceNet, ReconNet,
+    )
     from nerf3dtalker_tpu.models.s3fd import S3FD
     from nerf3dtalker_tpu.models.spectre import SpectreEncoder
     from nerf3dtalker_tpu.models.vq import AUClassifier, VQAutoEncoder
@@ -115,6 +117,7 @@ def _registry() -> Dict[str, Callable]:
         "lipreader": VisualFrontend,
         "recon_net": ReconNet,
         "iresnet": IResNet,
+        "mobilefacenet": MobileFaceNet,
         "spectre": SpectreEncoder,
         "landmark_estimator": LandmarkEstimator,
         "expression_loss": ExpressionLossNet,

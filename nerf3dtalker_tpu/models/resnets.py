@@ -1,5 +1,5 @@
-"""ResNet backbones: torchvision-style ResNet50 (Deep3DFaceRecon trunk) and
-ArcFace IResNet.
+"""ResNet backbones: torchvision-style ResNet50 (Deep3DFaceRecon trunk),
+ArcFace IResNet, and the MobileFaceNet mobile backbone.
 
 Equivalents of reference `s_face3d/models/networks.py` (define_net_recon:
 ResNet50 -> fc 257 coeff regressor, the SadTalker `net_recon` used by
@@ -131,3 +131,101 @@ class IResNet(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
                          use_scale=True, use_bias=True, name="features")(x)
         return x
+
+
+class _ConvBNPReLU(nn.Module):
+    """mobilefacenet.py ConvBlock: conv (no bias) -> BN -> per-channel PReLU."""
+
+    feats: int
+    kernel: Tuple[int, int] = (1, 1)
+    stride: int = 1
+    groups: int = 1
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        pad = tuple((k // 2, k // 2) for k in self.kernel)
+        x = nn.Conv(self.feats, self.kernel, strides=(self.stride,) * 2,
+                    padding=pad, feature_group_count=self.groups,
+                    use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="bn")(x)
+        return PReLU(name="prelu")(x)
+
+
+class _ConvBN(nn.Module):
+    """mobilefacenet.py LinearBlock: conv (no bias) -> BN, no activation."""
+
+    feats: int
+    kernel: Tuple[int, int] = (1, 1)
+    stride: int = 1
+    groups: int = 1
+    pad: str = "half"
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        pad = ("VALID" if self.pad == "valid"
+               else tuple((k // 2, k // 2) for k in self.kernel))
+        x = nn.Conv(self.feats, self.kernel, strides=(self.stride,) * 2,
+                    padding=pad, feature_group_count=self.groups,
+                    use_bias=False, name="conv")(x)
+        return nn.BatchNorm(use_running_average=not train, name="bn")(x)
+
+
+class DepthWiseBlock(nn.Module):
+    """mobilefacenet.py DepthWise: 1x1 expand -> 3x3 depthwise (stride)
+    -> 1x1 linear project, optional identity residual."""
+
+    feats: int
+    expand: int
+    stride: int = 2
+    residual: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = _ConvBNPReLU(self.expand, name="expand")(x, train)
+        y = _ConvBNPReLU(self.expand, kernel=(3, 3), stride=self.stride,
+                         groups=self.expand, name="dw")(y, train)
+        y = _ConvBN(self.feats, name="project")(y, train)
+        return x + y if self.residual else y
+
+
+class MobileFaceNet(nn.Module):
+    """ArcFace mobile backbone, NHWC flax re-expression of
+    `s_face3d/models/arcface_torch/backbones/mobilefacenet.py:89-127`
+    (scale=2 cavaface variant): stem convs, 4 depthwise-downsample stages
+    with residual stacks, 1x1 sep conv to 512, GDC head (7x7 depthwise
+    linear -> dense -> BN) -> `embed_dim` face embedding. 112x112 input.
+    """
+
+    embed_dim: int = 512
+    scale: int = 2
+    fp16: bool = False
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        c1, c2 = 64 * self.scale, 128 * self.scale
+        if self.fp16:
+            x = x.astype(jnp.bfloat16)
+        x = _ConvBNPReLU(c1, kernel=(3, 3), stride=2, name="stem")(x, train)
+        x = _ConvBNPReLU(c1, kernel=(3, 3), groups=64, name="stem_dw")(x, train)
+        # (stage channels, residual blocks, expansion width) per
+        # mobilefacenet.py:96-103
+        x = DepthWiseBlock(c1, expand=128, name="down1")(x, train)
+        for b in range(4):
+            x = DepthWiseBlock(c1, expand=128, stride=1, residual=True,
+                               name=f"res1_{b}")(x, train)
+        x = DepthWiseBlock(c2, expand=256, name="down2")(x, train)
+        for b in range(6):
+            x = DepthWiseBlock(c2, expand=256, stride=1, residual=True,
+                               name=f"res2_{b}")(x, train)
+        x = DepthWiseBlock(c2, expand=512, name="down3")(x, train)
+        for b in range(2):
+            x = DepthWiseBlock(c2, expand=256, stride=1, residual=True,
+                               name=f"res3_{b}")(x, train)
+        x = _ConvBNPReLU(512, name="sep")(x, train)
+        # GDC (mobilefacenet.py:76-86): global 7x7 depthwise linear conv
+        x = _ConvBN(512, kernel=(x.shape[1], x.shape[2]), groups=512,
+                    pad="valid", name="gdc")(x, train)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)
+        x = nn.Dense(self.embed_dim, use_bias=False, name="fc")(x)
+        return nn.BatchNorm(use_running_average=not train, epsilon=1e-5,
+                            name="features")(x)

@@ -103,3 +103,20 @@ def test_infer_stage2_wav_to_frames(tmp_path, capsys):
     assert rec["finite"] and rec["frames"] == 3
     pred = np.load(out)
     assert pred.shape == (1, 3, 16 * 16 * 3)
+
+
+def test_export_cli_writes_standalone_artifact(tmp_path, capsys):
+    """Deployment export (torch2onnx analog): StableHLO artifact loads and
+    renders without the model code path."""
+    import json
+
+    out = tmp_path / "hn.n3dt"
+    main(["export", "--featmap-size", "8", "--img-size", "32",
+          "--out", str(out)])
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["bytes"] == out.stat().st_size > 0
+
+    from nerf3dtalker_tpu.utils.export import load_exported
+
+    call, header = load_exported(out.read_bytes())
+    assert header["meta"]["model"] == "headnerf"

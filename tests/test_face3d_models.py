@@ -73,3 +73,28 @@ def test_recon_net_and_iresnet():
     vi = ir.init(jax.random.key(0), xi)
     emb = ir.apply(vi, xi)
     assert emb.shape == (2, 512)
+
+
+def test_mobilefacenet_shapes_and_depthwise():
+    from nerf3dtalker_tpu.models.resnets import MobileFaceNet
+
+    m = MobileFaceNet()
+    x = jnp.zeros((2, 112, 112, 3))
+    v = m.init(jax.random.key(0), x)
+    emb = m.apply(v, x)
+    assert emb.shape == (2, 512)
+    # the GDC head must be a global depthwise conv: kernel spatial dims
+    # cover the full 7x7 final feature map and in-ch/groups == 1
+    gdc = v["params"]["gdc"]["conv"]["kernel"]
+    assert gdc.shape == (7, 7, 1, 512)
+    # depthwise stage convs are grouped (in-ch per group == 1)
+    dw = v["params"]["down1"]["dw"]["conv"]["kernel"]
+    assert dw.shape[2] == 1 and dw.shape[3] == 128
+    # param count is mobile-scale (reference mbf ~= 2M params)
+    n = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(v["params"]))
+    assert 1_000_000 < n < 4_000_000
+
+    # train-mode call updates batch stats
+    out, new_vars = m.apply(v, jnp.ones((1, 112, 112, 3)), train=True,
+                            mutable=["batch_stats"])
+    assert out.shape == (1, 512)
