@@ -172,3 +172,77 @@ def convert_checkpoint(path: str) -> Tuple[Dict, Dict]:
         a_sd = {k: np.asarray(v) for k, v in ck["audio2style"].items()}
         audio = {"params": convert_audio2style(a_sd)}
     return params, {"para": para, "audio2style": audio, "epoch": ck.get("epoch")}
+
+
+def _conv_bn_prelu(sd, base, has_prelu=True):
+    """Reference mobilefacenet ConvBlock/LinearBlock (`.layers.0` Conv2d,
+    `.1` BN2d, `.2` PReLU) -> {params, stats} for _ConvBNPReLU/_ConvBN."""
+    w = np.asarray(sd[f"{base}.layers.0.weight"])       # [out, in/g, kh, kw]
+    params = {
+        "conv": {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32)},
+        "bn": {
+            "scale": np.asarray(sd[f"{base}.layers.1.weight"]).astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.layers.1.bias"]).astype(np.float32),
+        },
+    }
+    if has_prelu:
+        params["prelu"] = {
+            "alpha": np.asarray(sd[f"{base}.layers.2.weight"]).astype(np.float32)
+        }
+    stats = {
+        "bn": {
+            "mean": np.asarray(sd[f"{base}.layers.1.running_mean"]).astype(np.float32),
+            "var": np.asarray(sd[f"{base}.layers.1.running_var"]).astype(np.float32),
+        }
+    }
+    return params, stats
+
+
+def convert_mobilefacenet(sd: Dict) -> Dict:
+    """MobileFaceNet state_dict (arcface_torch backbones/mobilefacenet.py)
+    -> flax MobileFaceNet variables.
+
+    Layer map: layers.0/1 stem ConvBlocks; layers.{2,4,6} DepthWise
+    downsamples; layers.{3,5,7} Residual stacks (4/6/2 blocks);
+    conv_sep; features = GDC (global depthwise LinearBlock + Linear +
+    BN1d)."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(name, base, has_prelu=True):
+        params[name], stats[name] = _conv_bn_prelu(sd, base, has_prelu)
+
+    def put_dw(name, base):
+        p, s = {}, {}
+        p["expand"], s["expand"] = _conv_bn_prelu(sd, f"{base}.layers.0")
+        p["dw"], s["dw"] = _conv_bn_prelu(sd, f"{base}.layers.1")
+        p["project"], s["project"] = _conv_bn_prelu(
+            sd, f"{base}.layers.2", has_prelu=False
+        )
+        params[name], stats[name] = p, s
+
+    put("stem", "layers.0")
+    put("stem_dw", "layers.1")
+    put_dw("down1", "layers.2")
+    for b in range(4):
+        put_dw(f"res1_{b}", f"layers.3.layers.{b}")
+    put_dw("down2", "layers.4")
+    for b in range(6):
+        put_dw(f"res2_{b}", f"layers.5.layers.{b}")
+    put_dw("down3", "layers.6")
+    for b in range(2):
+        put_dw(f"res3_{b}", f"layers.7.layers.{b}")
+    put("sep", "conv_sep")
+    put("gdc", "features.layers.0", has_prelu=False)
+    params["fc"] = {
+        "kernel": np.asarray(sd["features.layers.2.weight"]).T.astype(np.float32)
+    }
+    params["features"] = {
+        "scale": np.asarray(sd["features.layers.3.weight"]).astype(np.float32),
+        "bias": np.asarray(sd["features.layers.3.bias"]).astype(np.float32),
+    }
+    stats["features"] = {
+        "mean": np.asarray(sd["features.layers.3.running_mean"]).astype(np.float32),
+        "var": np.asarray(sd["features.layers.3.running_var"]).astype(np.float32),
+    }
+    return {"params": params, "batch_stats": stats}

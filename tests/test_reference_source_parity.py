@@ -1,0 +1,144 @@
+"""Source-level parity vs ACTUAL reference modules (beyond the NeRF core).
+
+tests/test_reference_parity.py proves the HeadNeRF stack against
+/root/reference's own source; this file extends that evidence to the
+audio pathway, the VQ bottleneck, and the ArcFace mobile backbone:
+
+  * SimpleWrapperV2 (s_audio2exp_models/networks.py:26-74)
+  * VectorQuantizer (StandardizedSpace/models/lib/quantizer.py:14-91)
+  * MobileFaceNet (s_face3d/models/arcface_torch/backbones/mobilefacenet.py)
+
+Each test builds the reference torch module, randomizes its state_dict,
+converts with utils/convert, and asserts the flax forward matches.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+REF = "/root/reference"
+
+
+def _ref_import(modname):
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # the s_face3d.models package __init__ pulls in kornia (losses.py);
+    # reuse the minimal filter2d shim from the NeRF-core parity test
+    from tests.test_reference_parity import _install_kornia_shim
+
+    _install_kornia_shim()
+    # losses.py/networks.py also `from kornia.geometry import warp_affine`
+    import types
+
+    if "kornia.geometry" not in sys.modules:
+        geom = types.ModuleType("kornia.geometry")
+        geom.warp_affine = None  # imported but unused by the backbones
+        sys.modules["kornia"].geometry = geom
+        sys.modules["kornia.geometry"] = geom
+    try:
+        return __import__(modname, fromlist=["_"])
+    except Exception as e:  # pragma: no cover - environment-dependent
+        pytest.skip(f"reference module {modname} not importable: {e}")
+
+
+def _randomize_state(m, seed=0):
+    """Fill every tensor in the module with random values (positive
+    running_var) so parity is checked on non-degenerate weights."""
+    g = torch.Generator().manual_seed(seed)
+    sd = m.state_dict()
+    for k, v in sd.items():
+        if not v.is_floating_point():
+            continue
+        if "running_var" in k:
+            sd[k] = torch.rand(v.shape, generator=g) + 0.5
+        else:
+            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+    m.load_state_dict(sd)
+    return m
+
+
+def test_simple_wrapper_v2_matches_reference_source():
+    nets = _ref_import("s_audio2exp_models.networks")
+    from nerf3dtalker_tpu.models.audio import SimpleWrapperV2
+    from nerf3dtalker_tpu.utils.convert import convert_simple_wrapper_v2
+
+    tm = _randomize_state(nets.SimpleWrapperV2(), seed=3).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_simple_wrapper_v2(sd))
+
+    rng = np.random.default_rng(0)
+    mel = rng.standard_normal((2, 1, 80, 16)).astype(np.float32)
+    ref = rng.standard_normal((2, 64)).astype(np.float32) * 0.1
+    ratio = rng.uniform(0, 1, (2, 1)).astype(np.float32)
+
+    with torch.no_grad():
+        want = tm(torch.from_numpy(mel), torch.from_numpy(ref),
+                  torch.from_numpy(ratio)).numpy().reshape(2, 64)
+
+    got = SimpleWrapperV2().apply(
+        variables, jnp.asarray(mel.transpose(0, 2, 3, 1)),
+        jnp.asarray(ref), jnp.asarray(ratio),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_vector_quantizer_matches_reference_source():
+    qmod = _ref_import("StandardizedSpace.models.lib.quantizer")
+    from nerf3dtalker_tpu.models.vq.quantizer import VectorQuantizer
+
+    n_e, e_dim = 64, 16
+    tq = qmod.VectorQuantizer(n_e, e_dim, beta=0.25)
+    emb = np.asarray(tq.embedding.weight.detach().numpy())
+
+    rng = np.random.default_rng(1)
+    z = rng.standard_normal((2, 5, e_dim)).astype(np.float32) * 0.05
+
+    with torch.no_grad():
+        z_q_t, loss_t, (ppl_t, _, idx_t) = tq(torch.from_numpy(z))
+    # reference permutes (0,2,1) on return (quantizer.py:67); undo it
+    want_zq = z_q_t.permute(0, 2, 1).numpy()
+
+    vq = VectorQuantizer(n_embed=n_e, embed_dim=e_dim, beta=0.25)
+    res = vq.apply({"params": {"embedding": jnp.asarray(emb)}}, jnp.asarray(z))
+    np.testing.assert_allclose(np.asarray(res.quantized), want_zq, rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(float(res.loss), float(loss_t), rtol=1e-4)
+    np.testing.assert_allclose(float(res.perplexity), float(ppl_t), rtol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(res.indices).reshape(-1), idx_t.numpy().reshape(-1)
+    )
+
+    # codebook entry lookup (quantizer.py:78-91)
+    ids = np.asarray(res.indices).reshape(-1)
+    with torch.no_grad():
+        want_e = tq.get_codebook_entry(torch.from_numpy(ids), None).numpy()
+    got_e = vq.apply(
+        {"params": {"embedding": jnp.asarray(emb)}}, jnp.asarray(ids),
+        method=VectorQuantizer.codebook_entry,
+    )
+    np.testing.assert_allclose(np.asarray(got_e), want_e, rtol=1e-6)
+
+
+def test_mobilefacenet_matches_reference_source():
+    mbf = _ref_import("s_face3d.models.arcface_torch.backbones.mobilefacenet")
+    from nerf3dtalker_tpu.models.resnets import MobileFaceNet
+    from nerf3dtalker_tpu.utils.convert import convert_mobilefacenet
+
+    tm = _randomize_state(mbf.get_mbf(fp16=False, num_features=512),
+                          seed=7).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_mobilefacenet(sd))
+
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((2, 3, 112, 112)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    got = MobileFaceNet().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
