@@ -65,23 +65,30 @@ class ConvTransposeBN(nn.Module):
         return nn.relu(y)
 
 
-def _audio_encoder_spec():
-    """(cout, k, stride, pad, residual) — shared by Wav2Lip & SyncNet
-    (wav2lip.py:38-56)."""
-    return [
+def _audio_encoder_spec(extra_residual: bool = False):
+    """(cout, k, stride, pad, residual) — Wav2Lip's 13-layer audio encoder
+    (wav2lip.py:38-56); SyncNet's has one extra 256-residual layer
+    (syncnet.py:36-53, `extra_residual=True`)."""
+    spec = [
         (32, 3, (1, 1), 1, False), (32, 3, (1, 1), 1, True), (32, 3, (1, 1), 1, True),
         (64, 3, (3, 1), 1, False), (64, 3, (1, 1), 1, True), (64, 3, (1, 1), 1, True),
         (128, 3, (3, 3), 1, False), (128, 3, (1, 1), 1, True), (128, 3, (1, 1), 1, True),
         (256, 3, (3, 2), 1, False), (256, 3, (1, 1), 1, True),
-        (512, 3, (1, 1), 0, False), (512, 1, (1, 1), 0, False),
     ]
+    if extra_residual:
+        spec.append((256, 3, (1, 1), 1, True))
+    return spec + [(512, 3, (1, 1), 0, False), (512, 1, (1, 1), 0, False)]
 
 
 class AudioEncoder(nn.Module):
+    extra_residual: bool = False
+
     @nn.compact
     def __call__(self, mel, train: bool = False):
         x = mel  # [B, 80, 16, 1]
-        for i, (c, k, s, p, r) in enumerate(_audio_encoder_spec()):
+        for i, (c, k, s, p, r) in enumerate(
+            _audio_encoder_spec(self.extra_residual)
+        ):
             x = ConvBN(c, k, s, p, residual=r, name=f"l{i}")(x, train)
         return x  # [B, 1, 1, 512]
 
@@ -157,7 +164,8 @@ class SyncNetColor(nn.Module):
         f = face_half
         for i, (c, k, s, p, r) in enumerate(face_spec):
             f = ConvBN(c, k, s, p, residual=r, name=f"face_{i}")(f, train)
-        a = AudioEncoder(name="audio_encoder")(mel, train)
+        # syncnet.py:47-48: one more 256-residual layer than Wav2Lip's
+        a = AudioEncoder(extra_residual=True, name="audio_encoder")(mel, train)
         f = f.reshape(f.shape[0], -1)
         a = a.reshape(a.shape[0], -1)
         f = f / jnp.maximum(jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-8)

@@ -246,3 +246,108 @@ def convert_mobilefacenet(sd: Dict) -> Dict:
         "var": np.asarray(sd["features.layers.3.running_var"]).astype(np.float32),
     }
     return {"params": params, "batch_stats": stats}
+
+
+def _conv_bn(sd, base):
+    """wav_models/conv.py Conv2d block (`.conv_block.0` Conv2d w/ bias,
+    `.1` BN2d) -> ConvBN {params, stats}."""
+    w = np.asarray(sd[f"{base}.conv_block.0.weight"])
+    params = {
+        "conv": {
+            "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.conv_block.0.bias"]).astype(np.float32),
+        },
+        "bn": {
+            "scale": np.asarray(sd[f"{base}.conv_block.1.weight"]).astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.conv_block.1.bias"]).astype(np.float32),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": np.asarray(sd[f"{base}.conv_block.1.running_mean"]).astype(np.float32),
+            "var": np.asarray(sd[f"{base}.conv_block.1.running_var"]).astype(np.float32),
+        }
+    }
+    return params, stats
+
+
+def _conv_transpose_bn(sd, base):
+    """Conv2dTranspose block -> ConvTransposeBN. torch ConvTranspose2d
+    weight [in, out, kh, kw] computes a gradient-style (spatially
+    flipped) conv; flax ConvTranspose(transpose_kernel=False) expects a
+    forward-conv kernel [kh, kw, in, out], so flip the spatial dims."""
+    w = np.asarray(sd[f"{base}.conv_block.0.weight"])
+    params = {
+        "conv": {
+            "kernel": w.transpose(2, 3, 0, 1)[::-1, ::-1].astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.conv_block.0.bias"]).astype(np.float32),
+        },
+        "bn": {
+            "scale": np.asarray(sd[f"{base}.conv_block.1.weight"]).astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.conv_block.1.bias"]).astype(np.float32),
+        },
+    }
+    stats = {
+        "bn": {
+            "mean": np.asarray(sd[f"{base}.conv_block.1.running_mean"]).astype(np.float32),
+            "var": np.asarray(sd[f"{base}.conv_block.1.running_var"]).astype(np.float32),
+        }
+    }
+    return params, stats
+
+
+def _convert_audio_encoder(sd, prefix="audio_encoder", n_layers=13):
+    params, stats = {}, {}
+    for i in range(n_layers):
+        params[f"l{i}"], stats[f"l{i}"] = _conv_bn(sd, f"{prefix}.{i}")
+    return params, stats
+
+
+def convert_wav2lip(sd: Dict) -> Dict:
+    """Wav2Lip generator state_dict (wav_models/wav2lip.py:8-125) ->
+    flax Wav2Lip variables (models/wav2lip.py)."""
+    params: Dict = {}
+    stats: Dict = {}
+    enc_sizes = [1, 3, 4, 3, 3, 2, 2]
+    for bi, n in enumerate(enc_sizes):
+        for li in range(n):
+            params[f"face_enc_{bi}_{li}"], stats[f"face_enc_{bi}_{li}"] = \
+                _conv_bn(sd, f"face_encoder_blocks.{bi}.{li}")
+    params["audio_encoder"], stats["audio_encoder"] = _convert_audio_encoder(sd)
+    dec_sizes = [1, 2, 3, 3, 3, 3, 3]
+    for bi, n in enumerate(dec_sizes):
+        if bi == 0:
+            params["face_dec_0_0"], stats["face_dec_0_0"] = _conv_bn(
+                sd, "face_decoder_blocks.0.0"
+            )
+            continue
+        params[f"face_dec_{bi}_t"], stats[f"face_dec_{bi}_t"] = \
+            _conv_transpose_bn(sd, f"face_decoder_blocks.{bi}.0")
+        for li in range(1, n):
+            key = f"face_dec_{bi}_{li-1}"
+            params[key], stats[key] = _conv_bn(
+                sd, f"face_decoder_blocks.{bi}.{li}"
+            )
+    params["out_conv"], stats["out_conv"] = _conv_bn(sd, "output_block.0")
+    w = np.asarray(sd["output_block.1.weight"])
+    params["out_rgb"] = {
+        "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+        "bias": np.asarray(sd["output_block.1.bias"]).astype(np.float32),
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_syncnet(sd: Dict) -> Dict:
+    """SyncNet_color state_dict (wav_models/syncnet.py:7-70) -> flax
+    SyncNetColor variables."""
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(17):
+        params[f"face_{i}"], stats[f"face_{i}"] = _conv_bn(
+            sd, f"face_encoder.{i}"
+        )
+    # syncnet's audio encoder has 14 layers (extra 256-residual)
+    params["audio_encoder"], stats["audio_encoder"] = _convert_audio_encoder(
+        sd, n_layers=14
+    )
+    return {"params": params, "batch_stats": stats}

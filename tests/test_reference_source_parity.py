@@ -142,3 +142,52 @@ def test_mobilefacenet_matches_reference_source():
 
     got = MobileFaceNet().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
+
+
+def test_wav2lip_matches_reference_source():
+    wmod = _ref_import("wav_models.wav2lip")
+    from nerf3dtalker_tpu.models.wav2lip import Wav2Lip
+    from nerf3dtalker_tpu.utils.convert import convert_wav2lip
+
+    tm = _randomize_state(wmod.Wav2Lip(), seed=11).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_wav2lip(sd))
+
+    rng = np.random.default_rng(4)
+    mel = rng.standard_normal((2, 1, 80, 16)).astype(np.float32) * 0.1
+    faces = rng.uniform(0, 1, (2, 6, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(mel), torch.from_numpy(faces)).numpy()
+
+    got = Wav2Lip().apply(
+        variables, jnp.asarray(mel.transpose(0, 2, 3, 1)),
+        jnp.asarray(faces.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(got).transpose(0, 3, 1, 2), want, rtol=1e-3, atol=1e-4
+    )
+
+
+def test_syncnet_matches_reference_source():
+    smod = _ref_import("wav_models.syncnet")
+    from nerf3dtalker_tpu.models.wav2lip import SyncNetColor
+    from nerf3dtalker_tpu.utils.convert import convert_syncnet
+
+    tm = _randomize_state(smod.SyncNet_color(), seed=13).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_syncnet(sd))
+
+    rng = np.random.default_rng(5)
+    mel = rng.standard_normal((2, 1, 80, 16)).astype(np.float32) * 0.1
+    face = rng.uniform(0, 1, (2, 15, 48, 96)).astype(np.float32)
+    with torch.no_grad():
+        want_a, want_f = tm(torch.from_numpy(mel), torch.from_numpy(face))
+
+    got_a, got_f = SyncNetColor().apply(
+        variables, jnp.asarray(mel.transpose(0, 2, 3, 1)),
+        jnp.asarray(face.transpose(0, 2, 3, 1)),
+    )
+    np.testing.assert_allclose(np.asarray(got_a), want_a.numpy(), rtol=1e-3,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_f), want_f.numpy(), rtol=1e-3,
+                               atol=1e-4)
