@@ -351,3 +351,23 @@ def convert_syncnet(sd: Dict) -> Dict:
         sd, n_layers=14
     )
     return {"params": params, "batch_stats": stats}
+
+
+def convert_s3fd(sd: Dict) -> Dict:
+    """s3fd state_dict (face_detection/detection/sfd/net_s3fd.py:22-130)
+    -> flax S3FD params. Layer names match 1:1; Conv2d kernels go
+    [out,in,kh,kw] -> [kh,kw,in,out], L2Norm weights copy through."""
+    params: Dict = {}
+    for k in sd:
+        if not k.endswith(".weight"):
+            continue
+        name = k[: -len(".weight")]
+        w = np.asarray(sd[k])
+        if w.ndim == 4:
+            params[name] = {
+                "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+                "bias": np.asarray(sd[f"{name}.bias"]).astype(np.float32),
+            }
+        else:  # L2Norm scale vectors
+            params[name] = {"weight": w.astype(np.float32)}
+    return {"params": params}

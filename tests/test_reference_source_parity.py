@@ -47,9 +47,10 @@ def _ref_import(modname):
         pytest.skip(f"reference module {modname} not importable: {e}")
 
 
-def _randomize_state(m, seed=0):
+def _randomize_state(m, seed=0, scale=0.1):
     """Fill every tensor in the module with random values (positive
-    running_var) so parity is checked on non-degenerate weights."""
+    running_var) so parity is checked on non-degenerate weights. `scale`
+    keeps activations bounded through deep unnormalized trunks."""
     g = torch.Generator().manual_seed(seed)
     sd = m.state_dict()
     for k, v in sd.items():
@@ -58,7 +59,7 @@ def _randomize_state(m, seed=0):
         if "running_var" in k:
             sd[k] = torch.rand(v.shape, generator=g) + 0.5
         else:
-            sd[k] = torch.randn(v.shape, generator=g) * 0.1
+            sd[k] = torch.randn(v.shape, generator=g) * scale
     m.load_state_dict(sd)
     return m
 
@@ -191,3 +192,29 @@ def test_syncnet_matches_reference_source():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(got_f), want_f.numpy(), rtol=1e-3,
                                atol=1e-4)
+
+
+def test_s3fd_matches_reference_source():
+    smod = _ref_import("face_detection.detection.sfd.net_s3fd")
+    from nerf3dtalker_tpu.models.s3fd import S3FD
+    from nerf3dtalker_tpu.utils.convert import convert_s3fd
+
+    # s3fd has no normalization layers: keep weights small so 16
+    # conv layers do not blow past fp32 accumulation-order noise
+    tm = _randomize_state(smod.s3fd(), seed=17, scale=0.02).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_s3fd(sd))
+
+    rng = np.random.default_rng(6)
+    x = rng.uniform(-1, 1, (1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in tm(torch.from_numpy(x))]
+
+    heads = S3FD().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    got = []
+    for cls, reg in heads:
+        got += [np.asarray(cls).transpose(0, 3, 1, 2),
+                np.asarray(reg).transpose(0, 3, 1, 2)]
+    assert len(got) == len(want) == 12
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(g, w, rtol=1e-3, atol=1e-4)
