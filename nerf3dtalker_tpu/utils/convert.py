@@ -371,3 +371,63 @@ def convert_s3fd(sd: Dict) -> Dict:
         else:  # L2Norm scale vectors
             params[name] = {"weight": w.astype(np.float32)}
     return {"params": params}
+
+
+def _bn2(sd, base):
+    p = {
+        "scale": np.asarray(sd[f"{base}.weight"]).astype(np.float32),
+        "bias": np.asarray(sd[f"{base}.bias"]).astype(np.float32),
+    }
+    s = {
+        "mean": np.asarray(sd[f"{base}.running_mean"]).astype(np.float32),
+        "var": np.asarray(sd[f"{base}.running_var"]).astype(np.float32),
+    }
+    return p, s
+
+
+def _conv_nobias(sd, base):
+    w = np.asarray(sd[f"{base}.weight"])
+    return {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32)}
+
+
+def convert_iresnet(sd: Dict, layers=(2, 2, 2, 2)) -> Dict:
+    """ArcFace iresnet state_dict (backbones/iresnet.py:67-140) -> flax
+    IResNet variables. The fc flatten order differs (torch NCHW c*H*W+h*W+w
+    vs flax NHWC h*W*C+w*C+c), so fc weight columns are permuted."""
+    params: Dict = {}
+    stats: Dict = {}
+    params["conv1"] = _conv_nobias(sd, "conv1")
+    params["bn1"], stats["bn1"] = _bn2(sd, "bn1")
+    params["prelu"] = {"alpha": np.asarray(sd["prelu.weight"]).astype(np.float32)}
+    for li, n in enumerate(layers):
+        for b in range(n):
+            base = f"layer{li+1}.{b}"
+            name = f"layer{li+1}_{b}"
+            p: Dict = {}
+            s: Dict = {}
+            p["bn1"], s["bn1"] = _bn2(sd, f"{base}.bn1")
+            p["conv1"] = _conv_nobias(sd, f"{base}.conv1")
+            p["bn2"], s["bn2"] = _bn2(sd, f"{base}.bn2")
+            p["prelu"] = {
+                "alpha": np.asarray(sd[f"{base}.prelu.weight"]).astype(np.float32)
+            }
+            p["conv2"] = _conv_nobias(sd, f"{base}.conv2")
+            p["bn3"], s["bn3"] = _bn2(sd, f"{base}.bn3")
+            if f"{base}.downsample.0.weight" in sd:
+                p["down_conv"] = _conv_nobias(sd, f"{base}.downsample.0")
+                p["down_bn"], s["down_bn"] = _bn2(sd, f"{base}.downsample.1")
+            params[name], stats[name] = p, s
+    params["bn2"], stats["bn2"] = _bn2(sd, "bn2")
+    w = np.asarray(sd["fc.weight"])                 # [out, C*H*W]
+    out_f = w.shape[0]
+    c = 512
+    hw = w.shape[1] // c
+    h = int(np.sqrt(hw))
+    k = (w.reshape(out_f, c, h, h).transpose(2, 3, 1, 0)
+         .reshape(h * h * c, out_f))
+    params["fc"] = {
+        "kernel": k.astype(np.float32),
+        "bias": np.asarray(sd["fc.bias"]).astype(np.float32),
+    }
+    params["features"], stats["features"] = _bn2(sd, "features")
+    return {"params": params, "batch_stats": stats}

@@ -218,3 +218,23 @@ def test_s3fd_matches_reference_source():
     assert len(got) == len(want) == 12
     for g, w in zip(got, want):
         np.testing.assert_allclose(g, w, rtol=1e-3, atol=1e-4)
+
+
+def test_iresnet18_matches_reference_source():
+    imod = _ref_import("s_face3d.models.arcface_torch.backbones.iresnet")
+    from nerf3dtalker_tpu.models.resnets import IResNet
+    from nerf3dtalker_tpu.utils.convert import convert_iresnet
+
+    tm = _randomize_state(imod.iresnet18(), seed=19, scale=0.05).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_iresnet(sd))
+
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, 3, 112, 112)).astype(np.float32) * 0.2
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    got = IResNet(layers=(2, 2, 2, 2)).apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
