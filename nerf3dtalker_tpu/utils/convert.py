@@ -431,3 +431,66 @@ def convert_iresnet(sd: Dict, layers=(2, 2, 2, 2)) -> Dict:
     }
     params["features"], stats["features"] = _bn2(sd, "features")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_bisenet(sd: Dict) -> Dict:
+    """BiSeNet face-parsing state_dict (DataProcess/BiSeNet.py:227-256)
+    -> flax BiSeNet variables. ContextPath flattens (cp.* -> top level),
+    BiSeNetOutput heads map to `{name}_conv` / `{name}_out`."""
+    params: Dict = {}
+    stats: Dict = {}
+
+    def conv_bn_relu(name, base):
+        p = {"conv": _conv_nobias(sd, f"{base}.conv")}
+        p["bn"], s = _bn2(sd, f"{base}.bn")
+        params[name] = p
+        stats[name] = {"bn": s}
+
+    # resnet18 trunk (DataProcess/resnet.py:59-80)
+    rp: Dict = {"conv1": _conv_nobias(sd, "cp.resnet.conv1")}
+    rs: Dict = {}
+    rp["bn1"], rs["bn1"] = _bn2(sd, "cp.resnet.bn1")
+    for li in range(1, 5):
+        for b in range(2):
+            base = f"cp.resnet.layer{li}.{b}"
+            name = f"layer{li}_{b}"
+            p: Dict = {"conv1": _conv_nobias(sd, f"{base}.conv1"),
+                       "conv2": _conv_nobias(sd, f"{base}.conv2")}
+            s: Dict = {}
+            p["bn1"], s["bn1"] = _bn2(sd, f"{base}.bn1")
+            p["bn2"], s["bn2"] = _bn2(sd, f"{base}.bn2")
+            if f"{base}.downsample.0.weight" in sd:
+                p["down_conv"] = _conv_nobias(sd, f"{base}.downsample.0")
+                p["down_bn"], s["down_bn"] = _bn2(sd, f"{base}.downsample.1")
+            rp[name], rs[name] = p, s
+    params["resnet"], stats["resnet"] = rp, rs
+
+    conv_bn_relu("conv_avg", "cp.conv_avg")
+    conv_bn_relu("conv_head32", "cp.conv_head32")
+    conv_bn_relu("conv_head16", "cp.conv_head16")
+    for arm in ("arm16", "arm32"):
+        conv_bn_relu(arm, f"cp.{arm}.conv")
+        params[arm]["conv"] = {"conv": params[arm].pop("conv"),
+                               "bn": params[arm].pop("bn")}
+        stats[arm] = {"conv": stats[arm]}
+        params[arm]["conv_atten"] = _conv_nobias(sd, f"cp.{arm}.conv_atten")
+        bp, bs = _bn2(sd, f"cp.{arm}.bn_atten")
+        params[arm]["bn_atten"] = bp
+        stats[arm]["bn_atten"] = bs
+    conv_bn_relu("ffm_convblk", "ffm.convblk")
+    params["ffm"] = {
+        "convblk": params.pop("ffm_convblk"),
+        "conv1": {
+            "kernel": np.asarray(sd["ffm.conv1.weight"])
+            .transpose(2, 3, 1, 0).astype(np.float32),
+        },
+        "conv2": {
+            "kernel": np.asarray(sd["ffm.conv2.weight"])
+            .transpose(2, 3, 1, 0).astype(np.float32),
+        },
+    }
+    stats["ffm"] = {"convblk": stats.pop("ffm_convblk")}
+    for head in ("conv_out", "conv_out16", "conv_out32"):
+        conv_bn_relu(f"{head}_conv", f"{head}.conv")
+        params[f"{head}_out"] = _conv_nobias(sd, f"{head}.conv_out")
+    return {"params": params, "batch_stats": stats}

@@ -238,3 +238,43 @@ def test_iresnet18_matches_reference_source():
         variables, jnp.asarray(x.transpose(0, 2, 3, 1))
     )
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
+
+
+def test_bisenet_matches_reference_source():
+    import types
+
+    # flat imports inside DataProcess + torchvision/model_zoo are
+    # environment-only: stub them before import
+    dp = REF + "/DataProcess"
+    if dp not in sys.path:
+        sys.path.insert(0, dp)
+    if "torchvision" not in sys.modules:
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    import torch.utils.model_zoo as modelzoo
+
+    orig = modelzoo.load_url
+    modelzoo.load_url = lambda *a, **k: {}   # zero egress: skip pretrained
+    try:
+        bmod = _ref_import("BiSeNet")
+        tm = _randomize_state(bmod.BiSeNet(n_classes=19), seed=23).eval()
+    finally:
+        modelzoo.load_url = orig
+
+    from nerf3dtalker_tpu.models.bisenet import BiSeNet
+    from nerf3dtalker_tpu.utils.convert import convert_bisenet
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_bisenet(sd))
+
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        want = [t.numpy() for t in tm(torch.from_numpy(x))]
+
+    got = BiSeNet(n_classes=19).apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(
+            np.asarray(g).transpose(0, 3, 1, 2), w, rtol=5e-3, atol=1e-4
+        )
