@@ -494,3 +494,40 @@ def convert_bisenet(sd: Dict) -> Dict:
         conv_bn_relu(f"{head}_conv", f"{head}.conv")
         params[f"{head}_out"] = _conv_nobias(sd, f"{head}.conv_out")
     return {"params": params, "batch_stats": stats}
+
+
+def convert_recon_net(sd: Dict) -> Dict:
+    """Deep3DFaceRecon ReconNetWrapper state_dict
+    (s_face3d/models/networks.py:69-104, resnet50 + 7 conv1x1 coeff
+    heads) -> flax ReconNet variables. The per-coefficient heads
+    (id80/exp64/tex80/angle3/gamma27/txy2/tz1) stack into the single
+    257-wide dense head."""
+    params: Dict = {}
+    stats: Dict = {}
+    bp: Dict = {"conv1": _conv_nobias(sd, "backbone.conv1")}
+    bs: Dict = {}
+    bp["bn1"], bs["bn1"] = _bn2(sd, "backbone.bn1")
+    for li, n in enumerate((3, 4, 6, 3)):
+        for b in range(n):
+            base = f"backbone.layer{li+1}.{b}"
+            name = f"layer{li+1}_{b}"
+            p: Dict = {}
+            s: Dict = {}
+            for ci in (1, 2, 3):
+                p[f"conv{ci}"] = _conv_nobias(sd, f"{base}.conv{ci}")
+                p[f"bn{ci}"], s[f"bn{ci}"] = _bn2(sd, f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sd:
+                p["down_conv"] = _conv_nobias(sd, f"{base}.downsample.0")
+                p["down_bn"], s["down_bn"] = _bn2(sd, f"{base}.downsample.1")
+            bp[name], bs[name] = p, s
+    params["backbone"], stats["backbone"] = bp, bs
+    ks, bs_ = [], []
+    for i in range(7):
+        w = np.asarray(sd[f"final_layers.{i}.weight"])[:, :, 0, 0]  # [out,in]
+        ks.append(w.T)
+        bs_.append(np.asarray(sd[f"final_layers.{i}.bias"]))
+    params["final"] = {
+        "kernel": np.concatenate(ks, axis=1).astype(np.float32),
+        "bias": np.concatenate(bs_).astype(np.float32),
+    }
+    return {"params": params, "batch_stats": stats}

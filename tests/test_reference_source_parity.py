@@ -278,3 +278,24 @@ def test_bisenet_matches_reference_source():
         np.testing.assert_allclose(
             np.asarray(g).transpose(0, 3, 1, 2), w, rtol=5e-3, atol=1e-4
         )
+
+
+def test_recon_net_matches_reference_source():
+    nmod = _ref_import("s_face3d.models.networks")
+    from nerf3dtalker_tpu.models.resnets import ReconNet
+    from nerf3dtalker_tpu.utils.convert import convert_recon_net
+
+    tm = _randomize_state(
+        nmod.define_net_recon("resnet50", use_last_fc=False, init_path=None),
+        seed=29, scale=0.05,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_recon_net(sd))
+
+    rng = np.random.default_rng(9)
+    x = rng.uniform(0, 1, (2, 3, 96, 96)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    got = ReconNet().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
