@@ -299,3 +299,75 @@ def test_recon_net_matches_reference_source():
 
     got = ReconNet().apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
+
+
+def _import_talker_trainer():
+    """Import the reference's top-level trainer module (which defines
+    Audio2style/RNNModel, talker_trainer.py:408-473). Its import chain
+    pulls in many environment-only packages; stub just enough of each —
+    none of the stubbed symbols participate in the Audio2style math."""
+    import types
+
+    import numpy as _np
+
+    if not hasattr(_np, "VisibleDeprecationWarning"):   # numpy 2 removal
+        _np.VisibleDeprecationWarning = DeprecationWarning
+
+    def stub(name, **attrs):
+        m = sys.modules.get(name) or types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(m, k, v)
+        sys.modules[name] = m
+        parent, _, child = name.rpartition(".")
+        if parent and parent in sys.modules:
+            setattr(sys.modules[parent], child, m)
+        return m
+
+    _ref_import  # ensure kornia shim symbols exist
+    from tests.test_reference_parity import _install_kornia_shim
+
+    _install_kornia_shim()
+    stub("kornia.geometry", warp_affine=None)
+    stub("kornia.geometry.transform")
+    stub("kornia.geometry.transform.imgwarp", warp_perspective=None,
+         get_perspective_transform=None, warp_affine=None)
+    stub("torchvision")
+    stub("torchvision.models")
+    stub("torchvision.transforms")
+    stub("torchvision.transforms.functional")
+    stub("face_alignment")
+    stub("skimage")
+    stub("skimage.metrics", structural_similarity=None)
+    stub("skimage.io", imsave=None, imread=None)
+    stub("skimage.transform")
+    stub("lpips", LPIPS=None)
+    stub("ignite")
+    stub("ignite.metrics", SSIM=None)
+    stub("facexlib")
+    stub("facexlib.alignment", landmark_98_to_68=None)
+    stub("facexlib.detection", init_detection_model=None)
+    stub("facexlib.utils", load_file_from_url=None)
+    stub("yacs")
+    stub("yacs.config", CfgNode=type("CfgNode", (dict,), {}))
+    stub("loguru", logger=None)
+    stub("librosa")
+    stub("librosa.filters")
+    return _ref_import("talker_trainer")
+
+
+def test_audio2style_matches_reference_source():
+    tt = _import_talker_trainer()
+    from nerf3dtalker_tpu.models.audio import Audio2Style
+    from nerf3dtalker_tpu.utils.convert import convert_audio2style
+
+    tm = _randomize_state(tt.Audio2style(), seed=31).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": jax.tree.map(jnp.asarray, convert_audio2style(sd))}
+
+    rng = np.random.default_rng(10)
+    mels = rng.standard_normal((5, 80, 16)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tm(torch.from_numpy(mels)).numpy()
+
+    got = Audio2Style().apply(params, jnp.asarray(mels))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
