@@ -371,3 +371,45 @@ def test_audio2style_matches_reference_source():
 
     got = Audio2Style().apply(params, jnp.asarray(mels))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_headnerf_losses_match_reference_source():
+    """The training objective itself (bg/head/nonhead masked MSEs and
+    their sum, Utils/HeadNeRFLossUtils.py:124-236) computed by the
+    reference's own HeadNeRFLossUtils vs train/losses.headnerf_losses.
+    (The VGG term needs pretrained torchvision weights absent here; its
+    structure is covered by models/perceptual.py's converter tests.)"""
+    _import_talker_trainer()  # installs the stub chain Utils.* needs
+    from Utils.HeadNeRFLossUtils import HeadNeRFLossUtils
+
+    from nerf3dtalker_tpu.train.losses import headnerf_losses
+
+    ref = HeadNeRFLossUtils(bg_type="white", use_vgg_loss=False)
+
+    rng = np.random.default_rng(11)
+    B, H, W = 2, 16, 16
+    merge = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    bg = rng.uniform(0.8, 1.0, (B, H, W, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (B, H, W, 3)).astype(np.float32)
+    mask = (rng.uniform(0, 1, (B, H, W, 1)) > 0.4).astype(np.float32)
+
+    pred_dict = {"coarse_dict": {
+        "merge_img": torch.from_numpy(merge.transpose(0, 3, 1, 2)),
+        "bg_img": torch.from_numpy(bg.transpose(0, 3, 1, 2)),
+    }}
+    want = ref.calc_total_loss(
+        None, None, pred_dict, torch.from_numpy(gt.transpose(0, 3, 1, 2)),
+        torch.from_numpy(mask.transpose(0, 3, 1, 2)), None,
+    )
+
+    got = headnerf_losses(
+        {"merge_img": jnp.asarray(merge), "bg_img": jnp.asarray(bg)},
+        jnp.asarray(gt), jnp.asarray(mask), bg_value=1.0,
+    )
+    for ours, theirs in (("bg_loss", "bg_loss"), ("head_loss", "head_loss"),
+                         ("nonhead_loss", "nonhaed_loss"),
+                         ("total_loss", "total_loss")):
+        np.testing.assert_allclose(
+            float(got[ours]), float(want[theirs]), rtol=1e-5,
+            err_msg=f"{ours} vs reference {theirs}",
+        )
