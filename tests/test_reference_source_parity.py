@@ -413,3 +413,40 @@ def test_headnerf_losses_match_reference_source():
             float(got[ours]), float(want[theirs]), rtol=1e-5,
             err_msg=f"{ours} vs reference {theirs}",
         )
+
+
+def test_rotation_d6_matches_reference_source():
+    """Rotation algebra vs the reference's own Utils/D6_rotation.py:
+    quat<->SO3, d6 rep, and the gaze_to_d6 driver conversion."""
+    d6m = _ref_import("Utils.D6_rotation")
+    from nerf3dtalker_tpu.utils.rotations import (
+        d6_to_rmat, gaze_to_d6, quat_to_d6, quat_to_rmat,
+    )
+
+    rng = np.random.default_rng(12)
+    q = rng.standard_normal(4)
+    q = q / np.linalg.norm(q)
+
+    # the reference flattens column-stacked ([R[:,0] R[:,1] R[:,2]],
+    # D6_rotation.py:25-45): its 9-vector is our R in column-major order
+    R_ref = np.asarray(d6m.quat_to_so3(q)).reshape(3, 3)
+    R_got = np.asarray(quat_to_rmat(jnp.asarray(q)[None]))[0]
+    np.testing.assert_allclose(R_got.T, R_ref, rtol=1e-5, atol=1e-6)
+
+    d6_ref = np.asarray(d6m.quat_to_d6(q)).reshape(-1)
+    d6_got = np.asarray(quat_to_d6(jnp.asarray(q)[None]))[0]
+    np.testing.assert_allclose(d6_got, d6_ref, rtol=1e-5, atol=1e-6)
+
+    # d6 -> SO3 round-trip through the reference's Gram-Schmidt
+    # (same column-major layout on the reference side)
+    R_from_d6_ref = np.asarray(d6m.d6_to_so3(d6_ref.reshape(1, 6)))
+    R_from_d6_got = np.asarray(d6_to_rmat(jnp.asarray(d6_ref)[None]))[0]
+    np.testing.assert_allclose(
+        R_from_d6_got.T, R_from_d6_ref.reshape(3, 3),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    gaze = rng.uniform(-0.5, 0.5, 2).astype(np.float64)
+    want = np.asarray(d6m.gaze_to_d6(gaze)).reshape(-1)
+    got = np.asarray(gaze_to_d6(jnp.asarray(gaze.astype(np.float32))))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
