@@ -65,8 +65,21 @@ def write_video(
     if audio_path:
         cmd += ["-i", audio_path, "-c:a", "aac", "-shortest"]
     cmd += ["-c:v", "libx264", "-pix_fmt", "yuv420p", path]
-    proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
-                            stderr=subprocess.DEVNULL)
+    try:
+        proc = subprocess.Popen(cmd, stdin=subprocess.PIPE,
+                                stderr=subprocess.DEVNULL)
+    except FileNotFoundError:
+        # no ffmpeg on this host: fall back to per-frame PNGs next to the
+        # requested path so the render is never lost
+        import os
+        import warnings
+
+        d = os.path.splitext(path)[0] + "_frames"
+        os.makedirs(d, exist_ok=True)
+        for i, f in enumerate(frames):
+            write_png(os.path.join(d, f"{i:05d}.png"), f)
+        warnings.warn(f"ffmpeg not found; wrote {len(frames)} PNGs to {d}")
+        return
     for f in frames:
         u8 = np.clip(f * 255 if f.dtype != np.uint8 else f, 0, 255).astype(np.uint8)
         proc.stdin.write(u8.tobytes())

@@ -175,3 +175,25 @@ def test_export_roundtrip_and_headnerf_artifact(tmp_path):
     )
     assert img.shape == (1, cfg.pred_img_size, cfg.pred_img_size, 3)
     assert bool(jnp.all(jnp.isfinite(img)))
+
+
+def test_write_video_falls_back_to_pngs_without_ffmpeg(tmp_path, monkeypatch):
+    import subprocess
+
+    from nerf3dtalker_tpu.utils import video as vid
+
+    def no_ffmpeg(*a, **k):
+        raise FileNotFoundError("ffmpeg")
+
+    monkeypatch.setattr(subprocess, "Popen", no_ffmpeg)
+    frames = [np.full((8, 8, 3), 0.5, np.float32)] * 3
+    out = tmp_path / "clip.mp4"
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vid.write_video(frames, str(out))
+    d = tmp_path / "clip_frames"
+    assert sorted(p.name for p in d.iterdir()) == [
+        "00000.png", "00001.png", "00002.png"
+    ]
