@@ -450,3 +450,28 @@ def test_rotation_d6_matches_reference_source():
     want = np.asarray(d6m.gaze_to_d6(gaze)).reshape(-1)
     got = np.asarray(gaze_to_d6(jnp.asarray(gaze.astype(np.float32))))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_fus_audio2style_matches_reference_source():
+    """Style-fusion head vs the reference talker_trainer_disexp module
+    (talker_trainer_disexp.py:471-501)."""
+    _import_talker_trainer()  # same stub chain
+    ttd = _ref_import("talker_trainer_disexp")
+    from nerf3dtalker_tpu.models.audio import FusAudio2Style
+    from nerf3dtalker_tpu.utils.convert import _dense
+
+    tm = _randomize_state(ttd.fus_Audio2style(), seed=37).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params = {"params": {
+        "linear1": jax.tree.map(jnp.asarray, _dense(sd, "linear1.0")),
+        "linear2": jax.tree.map(jnp.asarray, _dense(sd, "linear2.0")),
+    }}
+
+    rng = np.random.default_rng(13)
+    f1 = rng.standard_normal((3, 64)).astype(np.float32) * 0.3
+    f2 = rng.standard_normal((3, 64)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want = tm(torch.from_numpy(f1), torch.from_numpy(f2)).numpy()
+
+    got = FusAudio2Style().apply(params, jnp.asarray(f1), jnp.asarray(f2))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
