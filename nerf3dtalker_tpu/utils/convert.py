@@ -531,3 +531,27 @@ def convert_recon_net(sd: Dict) -> Dict:
         "bias": np.concatenate(bs_).astype(np.float32),
     }
     return {"params": params, "batch_stats": stats}
+
+
+def convert_au_classifier(sd: Dict) -> Dict:
+    """classifier_AU state_dict (StandardizedSpace/main/train_vq.py:60-93)
+    -> flax AUClassifier params. linear0's input columns are permuted from
+    the torch NCHW flatten (c*25+h*5+w) to the NHWC flatten."""
+    params: Dict = {}
+    for i in range(1, 5):
+        w = np.asarray(sd[f"conv{i}.0.weight"])
+        params[f"conv{i}"] = {
+            "kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": np.asarray(sd[f"conv{i}.0.bias"]).astype(np.float32),
+        }
+    w0 = np.asarray(sd["linear0.0.weight"])          # [1600, 128*5*5]
+    w0 = (w0.reshape(-1, 128, 5, 5).transpose(2, 3, 1, 0)
+          .reshape(5 * 5 * 128, -1))
+    params["linear0"] = {
+        "kernel": w0.astype(np.float32),
+        "bias": np.asarray(sd["linear0.0.bias"]).astype(np.float32),
+    }
+    for i in (1, 2, 3):
+        params[f"linear{i}"] = _dense(sd, f"linear{i}.0")
+    params["linear4"] = _dense(sd, "linear4")
+    return {"params": params}

@@ -475,3 +475,34 @@ def test_fus_audio2style_matches_reference_source():
 
     got = FusAudio2Style().apply(params, jnp.asarray(f1), jnp.asarray(f2))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_au_classifier_matches_reference_source():
+    """The per-AU CNN whose linear2 features feed the AU codebook
+    (StandardizedSpace/main/train_vq.py:60-93)."""
+    import types
+
+    ss = REF + "/StandardizedSpace"
+    if ss not in sys.path:
+        sys.path.insert(0, ss)
+    sys.modules.setdefault("loss", types.ModuleType("loss"))  # main/loss dep
+    tv = _ref_import("main.train_vq")
+    from nerf3dtalker_tpu.models.vq.au_classifier import AUClassifier
+    from nerf3dtalker_tpu.utils.convert import convert_au_classifier
+
+    tm = _randomize_state(tv.classifier_AU(), seed=41).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_au_classifier(sd))
+
+    rng = np.random.default_rng(14)
+    x = rng.uniform(0, 1, (2, 3, 112, 112)).astype(np.float32)
+    with torch.no_grad():
+        want_f, want_p = tm(torch.from_numpy(x))
+
+    got_f, got_p = AUClassifier().apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got_f), want_f.numpy(), rtol=2e-3,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_p), want_p.numpy(), rtol=2e-3,
+                               atol=2e-4)
