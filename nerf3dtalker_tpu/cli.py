@@ -278,6 +278,18 @@ def cmd_render(args):
     shape = rng.standard_normal((1, cfg.shape_code_dims)).astype(np.float32) * 0.1
     appea = rng.standard_normal((1, cfg.appea_code_dims)).astype(np.float32) * 0.1
     aud = rng.standard_normal((1, 64)).astype(np.float32) * 0.1
+    if getattr(args, "latents", ""):
+        # fitted.npz from `fit` (FittingSingleImage_new.py save_res flow:
+        # render the orbit around the *fitted* subject)
+        z = dict(np.load(args.latents))
+        shape = np.concatenate(
+            [z["iden"] + z.get("iden_offset", 0.0),
+             z["expr"] + z.get("expr_offset", 0.0)], -1
+        ).astype(np.float32)
+        appea = (np.concatenate([z["text"], z["illu"]], -1)
+                 + z.get("appea_offset", 0.0)).astype(np.float32)
+        if "audio_style" in z:
+            aud = z["audio_style"].astype(np.float32)
     from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
     import jax.numpy as jnp
 
@@ -289,6 +301,16 @@ def cmd_render(args):
         Rmat=jnp.asarray(cam.Rmat), Tvec=jnp.asarray(cam.Tvec),
         inv_inmat=jnp.asarray(cam.inv_inmat),
     )
+    if getattr(args, "ckpt", ""):
+        from nerf3dtalker_tpu.utils.checkpoints import (
+            restore_checkpoint, soft_load,
+        )
+
+        state, _ = restore_checkpoint(args.ckpt, None)
+        p = state["params"] if "params" in state else state
+        if "nerf" in p:
+            p = p["nerf"]
+        params = soft_load(params, p)
     views = render_novel_views(
         model, params, jnp.asarray(shape), jnp.asarray(appea), jnp.asarray(aud),
         view_num=args.views,
@@ -654,6 +676,9 @@ def main(argv=None):
     pr = sub.add_parser("render")
     _add_common(pr)
     pr.add_argument("--views", type=int, default=45)
+    pr.add_argument("--latents", type=str, default="",
+                    help="fitted.npz from `fit`: orbit the fitted subject")
+    pr.add_argument("--ckpt", type=str, default="")
     pr.add_argument("--out", type=str, default="")
     pr.set_defaults(fn=cmd_render)
 

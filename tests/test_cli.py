@@ -120,3 +120,26 @@ def test_export_cli_writes_standalone_artifact(tmp_path, capsys):
 
     call, header = load_exported(out.read_bytes())
     assert header["meta"]["model"] == "headnerf"
+
+
+def test_render_consumes_fitted_latents(tmp_path, capsys):
+    """fit -> render flow: the orbit renders the fitted subject
+    (FittingSingleImage_new.py save_res semantics)."""
+    z = tmp_path / "fitted.npz"
+    rng = np.random.default_rng(0)
+    np.savez(
+        z,
+        iden=rng.standard_normal((1, 100)).astype(np.float32) * 0.1,
+        expr=rng.standard_normal((1, 79)).astype(np.float32) * 0.1,
+        text=rng.standard_normal((1, 100)).astype(np.float32) * 0.1,
+        illu=rng.standard_normal((1, 27)).astype(np.float32) * 0.1,
+        iden_offset=np.zeros((1, 100), np.float32),
+        expr_offset=np.zeros((1, 79), np.float32),
+        appea_offset=np.zeros((1, 127), np.float32),
+    )
+    out = tmp_path / "orbit.npy"
+    main(["render", "--featmap-size", "8", "--img-size", "32",
+          "--latents", str(z), "--views", "2", "--out", str(out)])
+    views = np.load(out)
+    assert views.shape[0] == 2 and views.shape[-1] == 3
+    assert np.isfinite(views).all()
