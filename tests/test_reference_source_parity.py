@@ -506,3 +506,37 @@ def test_au_classifier_matches_reference_source():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(got_p), want_p.numpy(), rtol=2e-3,
                                atol=2e-4)
+
+
+def test_stage2_mask_and_ppe_match_reference_source():
+    """CodeTalker machinery vs StandardizedSpace/models/utils.py: the
+    ALiBi-style biased causal mask, the enc-dec alignment mask, and the
+    periodic positional encoding table."""
+    ss = REF + "/StandardizedSpace"
+    if ss not in sys.path:
+        sys.path.insert(0, ss)
+    um = _ref_import("models.utils")
+    from nerf3dtalker_tpu.models.vq.stage2 import (
+        enc_dec_mask, init_biased_mask, periodic_positional_encoding,
+    )
+
+    H, T, period = 4, 12, 3
+    want = um.init_biased_mask(H, T, period).numpy()
+    got = np.asarray(init_biased_mask(H, T, period))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # enc_dec_mask: reference returns True where attention is BLOCKED
+    for ds, S in (("vocaset", 12), ("BIWI", 24)):
+        want_blocked = um.enc_dec_mask("cpu", ds, T, S).numpy()
+        got_bias = np.asarray(enc_dec_mask(T, S, dataset=ds))
+        np.testing.assert_array_equal(np.isneginf(got_bias), want_blocked)
+
+    ppe_ref = um.PeriodicPositionalEncoding(32, dropout=0.0, period=7,
+                                            max_seq_len=40).eval()
+    x = torch.zeros(1, 40, 32)
+    with torch.no_grad():
+        want_pe = ppe_ref(x).numpy()[0]
+    got_pe = np.asarray(
+        periodic_positional_encoding(jnp.zeros((1, 40, 32)), period=7)
+    )[0]
+    np.testing.assert_allclose(got_pe, want_pe, rtol=1e-5, atol=1e-6)
