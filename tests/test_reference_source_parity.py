@@ -540,3 +540,72 @@ def test_stage2_mask_and_ppe_match_reference_source():
         periodic_positional_encoding(jnp.zeros((1, 40, 32)), period=7)
     )[0]
     np.testing.assert_allclose(got_pe, want_pe, rtol=1e-5, atol=1e-6)
+
+
+def test_flame_lbs_matches_reference_source():
+    """FLAME linear-blend-skinning math vs the reference's own
+    lipsrc/models/lbs.py on random synthetic model tensors."""
+    lbs_ref = _ref_import("lipsrc.models.lbs")
+    from nerf3dtalker_tpu.models.flame import (
+        batch_rodrigues, blend_shapes, lbs, vertices2landmarks,
+    )
+
+    rng = np.random.default_rng(15)
+    rv = rng.standard_normal((4, 3)).astype(np.float32) * 0.5
+    want_R = lbs_ref.batch_rodrigues(torch.from_numpy(rv)).numpy()
+    got_R = np.asarray(batch_rodrigues(jnp.asarray(rv)))
+    np.testing.assert_allclose(got_R, want_R, rtol=1e-5, atol=1e-6)
+
+    B, V, nB = 2, 20, 8
+    betas = rng.standard_normal((B, nB)).astype(np.float32)
+    disps = rng.standard_normal((V, 3, nB)).astype(np.float32) * 0.01
+    want_bs = lbs_ref.blend_shapes(torch.from_numpy(betas),
+                                   torch.from_numpy(disps)).numpy()
+    got_bs = np.asarray(blend_shapes(jnp.asarray(betas), jnp.asarray(disps)))
+    np.testing.assert_allclose(got_bs, want_bs, rtol=1e-5, atol=1e-6)
+
+    # full LBS: tiny synthetic rig (5 joints, chain parents)
+    J = 5
+    v_template = rng.standard_normal((V, 3)).astype(np.float32) * 0.1
+    shapedirs = disps
+    posedirs = rng.standard_normal(((J - 1) * 9, V * 3)).astype(np.float32) * 0.001
+    J_reg = rng.uniform(0, 1, (J, V)).astype(np.float32)
+    J_reg /= J_reg.sum(1, keepdims=True)
+    parents = np.array([-1, 0, 1, 1, 2], np.int64)
+    weights = rng.uniform(0, 1, (V, J)).astype(np.float32)
+    weights /= weights.sum(1, keepdims=True)
+    pose = rng.standard_normal((B, J * 3)).astype(np.float32) * 0.2
+
+    want_v, want_j = lbs_ref.lbs(
+        torch.from_numpy(betas), torch.from_numpy(pose),
+        torch.from_numpy(v_template)[None].expand(B, -1, -1),
+        torch.from_numpy(shapedirs),
+        torch.from_numpy(posedirs),
+        torch.from_numpy(J_reg), torch.from_numpy(parents),
+        torch.from_numpy(weights),
+    )
+    got_v, got_j = lbs(
+        jnp.asarray(betas), jnp.asarray(pose), jnp.asarray(v_template),
+        jnp.asarray(shapedirs), jnp.asarray(posedirs), jnp.asarray(J_reg),
+        jnp.asarray(parents), jnp.asarray(weights),
+    )
+    np.testing.assert_allclose(np.asarray(got_v), want_v.numpy(), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_j), want_j.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+    # landmark extraction by barycentric face lookup
+    faces = rng.integers(0, V, (12, 3)).astype(np.int64)
+    lmk_f = rng.integers(0, 12, (7,)).astype(np.int64)
+    bary = rng.uniform(0, 1, (7, 3)).astype(np.float32)
+    bary /= bary.sum(1, keepdims=True)
+    want_lmk = lbs_ref.vertices2landmarks(
+        want_v, torch.from_numpy(faces),
+        torch.from_numpy(lmk_f)[None].repeat(B, 1),
+        torch.from_numpy(bary)[None].repeat(B, 1, 1),
+    ).numpy()
+    got_lmk = np.asarray(vertices2landmarks(
+        jnp.asarray(np.asarray(got_v)), jnp.asarray(faces),
+        jnp.asarray(lmk_f), jnp.asarray(bary),
+    ))
+    np.testing.assert_allclose(got_lmk, want_lmk, rtol=1e-4, atol=1e-5)
