@@ -10,6 +10,10 @@ the Python model code, which is the idiomatic XLA serving story.
 The artifact format is a small self-describing header (JSON: metadata +
 flattened-params treedef) followed by the StableHLO payload, so a
 server can reload it with nothing but this module.
+
+Note: an artifact is lowered for the exporting process's platform
+(header["platforms"], e.g. ['tpu'] when exported on-chip, ['cpu'] on a
+dev box) — export on the platform you serve on.
 """
 
 from __future__ import annotations
