@@ -609,3 +609,36 @@ def test_flame_lbs_matches_reference_source():
         jnp.asarray(lmk_f), jnp.asarray(bary),
     ))
     np.testing.assert_allclose(got_lmk, want_lmk, rtol=1e-4, atol=1e-5)
+
+
+def test_lve_fdd_match_reference_recipe():
+    """LVE/FDD vs the reference's exact numpy recipe
+    (StandardizedSpace/main/cal_metric.py:41-77, not importable as
+    functions — the script is one monolithic main())."""
+    from nerf3dtalker_tpu.utils.mesh_metrics import fdd, lip_vertex_error
+
+    rng = np.random.default_rng(16)
+    T, V = 6, 30
+    gt = rng.standard_normal((T, V, 3)).astype(np.float64)
+    pred = gt + rng.standard_normal((T, V, 3)) * 0.05
+    template = rng.standard_normal((V, 3))
+    mouth = [1, 4, 7, 9]
+    upper = [0, 2, 5, 11, 20]
+
+    # ---- reference recipe, transcribed verbatim ----
+    L2 = np.array([np.square(gt[:, v, :] - pred[:, v, :]) for v in mouth])
+    L2 = np.transpose(L2, (1, 0, 2)).sum(axis=2).max(axis=1)
+    lve_ref = np.mean(L2)
+
+    def motion_std(verts):
+        motion = verts - template.reshape(1, V, 3)
+        d = np.array([np.square(motion[:, v, :]) for v in upper])
+        d = np.transpose(d, (1, 0, 2)).sum(axis=2)
+        return np.mean(np.std(d, axis=0))
+
+    fdd_ref = motion_std(gt) - motion_std(pred)
+
+    np.testing.assert_allclose(lip_vertex_error(gt, pred, mouth), lve_ref,
+                               rtol=1e-12)
+    np.testing.assert_allclose(fdd(gt, pred, template, upper), fdd_ref,
+                               rtol=1e-9)
