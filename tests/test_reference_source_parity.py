@@ -28,6 +28,8 @@ REF = "/root/reference"
 def _ref_import(modname):
     if REF not in sys.path:
         sys.path.insert(0, REF)
+    if not hasattr(np, "VisibleDeprecationWarning"):   # numpy 2 removal
+        np.VisibleDeprecationWarning = DeprecationWarning
     # the s_face3d.models package __init__ pulls in kornia (losses.py);
     # reuse the minimal filter2d shim from the NeRF-core parity test
     from tests.test_reference_parity import _install_kornia_shim
@@ -642,3 +644,22 @@ def test_lve_fdd_match_reference_recipe():
                                rtol=1e-12)
     np.testing.assert_allclose(fdd(gt, pred, template, upper), fdd_ref,
                                rtol=1e-9)
+
+
+def test_extract_5p_and_pos_match_reference_source():
+    """Face-alignment landmark reduction (extract_5p) and the POS
+    least-squares pose solve vs s_face3d/util/preprocess.py."""
+    import types
+
+    sys.modules.setdefault("skimage", types.ModuleType("skimage"))
+    sys.modules.setdefault("skimage.transform",
+                           types.ModuleType("skimage.transform"))
+    sys.modules["skimage"].transform = sys.modules["skimage.transform"]
+    pp = _ref_import("s_face3d.util.preprocess")
+    from nerf3dtalker_tpu.data.align import landmarks68_to_5
+
+    rng = np.random.default_rng(17)
+    lm68 = rng.uniform(0, 224, (68, 2))
+    want = pp.extract_5p(lm68)
+    got = landmarks68_to_5(lm68)
+    np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5)
