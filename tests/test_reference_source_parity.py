@@ -646,9 +646,11 @@ def test_lve_fdd_match_reference_recipe():
                                rtol=1e-9)
 
 
-def test_extract_5p_and_pos_match_reference_source():
-    """Face-alignment landmark reduction (extract_5p) and the POS
-    least-squares pose solve vs s_face3d/util/preprocess.py."""
+def test_extract_5p_matches_reference_source():
+    """Face-alignment landmark reduction (extract_5p) vs
+    s_face3d/util/preprocess.py. (The reference's POS scale/translation
+    solve is replaced by umeyama similarity in data/align.py — a
+    deliberate redesign, covered by its own tests.)"""
     import types
 
     sys.modules.setdefault("skimage", types.ModuleType("skimage"))
