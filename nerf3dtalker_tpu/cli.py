@@ -26,6 +26,46 @@ def _add_common(p):
     p.add_argument("--seed", type=int, default=0)
 
 
+def _restored_params(ckpt_path):
+    """Restore a checkpoint and unwrap to its params tree (handles
+    {params: ...} train states and bare param trees)."""
+    from nerf3dtalker_tpu.utils.checkpoints import restore_checkpoint
+
+    state, _ = restore_checkpoint(ckpt_path, None)
+    if isinstance(state, dict) and "params" in state:
+        return state["params"]
+    return state
+
+
+def _nerf_params_from_ckpt(ckpt_path, target):
+    """Soft-load a checkpoint's NeRF params into `target` (handles the
+    {nerf, audio} split trainer checkpoints and plain NeRF trees)."""
+    from nerf3dtalker_tpu.utils.checkpoints import soft_load
+
+    p = _restored_params(ckpt_path)
+    if isinstance(p, dict) and "nerf" in p:
+        p = p["nerf"]
+    return soft_load(target, p)
+
+
+def _codes_from_latents(path):
+    """fitted.npz from `fit` -> (shape_code, appea_code, audio_style?).
+
+    Applies the fitted offsets to the base codes
+    (FittingSingleImage_new.py save_res latent export)."""
+    import numpy as np
+
+    z = dict(np.load(path))
+    shape = np.concatenate(
+        [z["iden"] + z.get("iden_offset", 0.0),
+         z["expr"] + z.get("expr_offset", 0.0)], -1
+    ).astype(np.float32)
+    appea = (np.concatenate([z["text"], z["illu"]], -1)
+             + z.get("appea_offset", 0.0)).astype(np.float32)
+    aud = z["audio_style"].astype(np.float32) if "audio_style" in z else None
+    return shape, appea, aud
+
+
 def cmd_train(args):
     import numpy as np
 
@@ -156,13 +196,7 @@ def cmd_fit(args):
         Tvec=jnp.asarray(cam.Tvec), inv_inmat=jnp.asarray(cam.inv_inmat),
     )
     if args.ckpt:
-        from nerf3dtalker_tpu.utils.checkpoints import restore_checkpoint
-
-        state, _ = restore_checkpoint(args.ckpt, None)
-        p = state["params"]["nerf"] if "params" in state else state
-        from nerf3dtalker_tpu.utils.checkpoints import soft_load
-
-        params = soft_load(params, p)
+        params = _nerf_params_from_ckpt(args.ckpt, params)
     cam_d = {
         "Rmat": jnp.asarray(cam.Rmat), "Tvec": jnp.asarray(cam.Tvec),
         "inv_inmat": jnp.asarray(cam.inv_inmat),
@@ -220,12 +254,7 @@ def cmd_animate(args):
     shape = np.zeros((1, cfg.shape_code_dims), np.float32)
     appea = np.zeros((1, cfg.appea_code_dims), np.float32)
     if args.latents:
-        z = dict(np.load(args.latents))
-        iden = z["iden"] + z.get("iden_offset", 0.0)
-        expr = z["expr"] + z.get("expr_offset", 0.0)
-        shape = np.concatenate([iden, expr], -1).astype(np.float32)
-        appea = (np.concatenate([z["text"], z["illu"]], -1)
-                 + z.get("appea_offset", 0.0)).astype(np.float32)
+        shape, appea, _ = _codes_from_latents(args.latents)
 
     a2s = Audio2Style()
     a2s_params = a2s.init(jax.random.key(1), jnp.zeros((1, 80, 16)))
@@ -236,13 +265,9 @@ def cmd_animate(args):
         Tvec=jnp.asarray(cam.Tvec), inv_inmat=jnp.asarray(cam.inv_inmat),
     )
     if args.ckpt:
-        from nerf3dtalker_tpu.utils.checkpoints import (
-            restore_checkpoint,
-            soft_load,
-        )
+        from nerf3dtalker_tpu.utils.checkpoints import soft_load
 
-        state, _ = restore_checkpoint(args.ckpt, None)
-        p = state["params"] if "params" in state else state
+        p = _restored_params(args.ckpt)
         if "nerf" in p:
             nerf_params = soft_load(nerf_params, p["nerf"])
             a2s_params = soft_load(a2s_params, p["audio"])
@@ -280,16 +305,12 @@ def cmd_render(args):
     aud = rng.standard_normal((1, 64)).astype(np.float32) * 0.1
     if getattr(args, "latents", ""):
         # fitted.npz from `fit` (FittingSingleImage_new.py save_res flow:
-        # render the orbit around the *fitted* subject)
-        z = dict(np.load(args.latents))
-        shape = np.concatenate(
-            [z["iden"] + z.get("iden_offset", 0.0),
-             z["expr"] + z.get("expr_offset", 0.0)], -1
-        ).astype(np.float32)
-        appea = (np.concatenate([z["text"], z["illu"]], -1)
-                 + z.get("appea_offset", 0.0)).astype(np.float32)
-        if "audio_style" in z:
-            aud = z["audio_style"].astype(np.float32)
+        # orbit the fitted subject; like the reference's
+        # RenderUtils.render_novel_views:110-128, the orbit rig ignores
+        # the fitted camera deltas)
+        shape, appea, aud_z = _codes_from_latents(args.latents)
+        if aud_z is not None:
+            aud = aud_z
     from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
     import jax.numpy as jnp
 
@@ -538,43 +559,16 @@ def cmd_infer_stage2(args):
 def cmd_export(args):
     """Serialize the flagship forward as a standalone StableHLO artifact
     (deployment export; the reference's torch2onnx.py analog)."""
-    import numpy as np
-
     from nerf3dtalker_tpu.config import NeRFConfig
-    from nerf3dtalker_tpu.utils.export import export_headnerf
+    from nerf3dtalker_tpu.utils.export import export_headnerf, flagship_init
 
     cfg = NeRFConfig(featmap_size=args.featmap_size,
                      pred_img_size=args.img_size)
     params = None
     if args.ckpt:
-        import jax
-
-        from nerf3dtalker_tpu.models import HeadNeRF
-        from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
-        from nerf3dtalker_tpu.utils.checkpoints import (
-            restore_checkpoint, soft_load,
+        params = _nerf_params_from_ckpt(
+            args.ckpt, flagship_init(cfg, args.seed)
         )
-
-        model = HeadNeRF(cfg, use_fused=False)
-        xy, _ = ray_grid(cfg.featmap_size)
-        cam = base_cam(cfg.featmap_size)
-        import jax.numpy as jnp
-
-        target = model.init(
-            jax.random.key(args.seed),
-            batch_xy=jnp.asarray(xy),
-            shape_code=jnp.zeros((1, cfg.shape_code_dims)),
-            appea_code=jnp.zeros((1, cfg.appea_code_dims)),
-            audio_style=jnp.zeros((1, cfg.audio_style_dims)),
-            Rmat=jnp.asarray(cam.Rmat),
-            Tvec=jnp.asarray(cam.Tvec),
-            inv_inmat=jnp.asarray(cam.inv_inmat),
-        )
-        state, _meta = restore_checkpoint(args.ckpt, None)
-        p = state["params"] if "params" in state else state
-        if "nerf" in p:
-            p = p["nerf"]
-        params = soft_load(target, p)
     blob = export_headnerf(cfg, params=params, path=args.out)
     print(json.dumps({"out": args.out, "bytes": len(blob)}))
 

@@ -197,12 +197,13 @@ class MobileFaceNet(nn.Module):
     """
 
     embed_dim: int = 512
-    scale: int = 2
     fp16: bool = False
 
     @nn.compact
     def __call__(self, x, train=False):
-        c1, c2 = 64 * self.scale, 128 * self.scale
+        # scale=2 cavaface variant only — the expansion widths and the
+        # stem_dw grouping below are specific to it (mobilefacenet.py:92)
+        c1, c2 = 128, 256
         if self.fp16:
             x = x.astype(jnp.bfloat16)
         x = _ConvBNPReLU(c1, kernel=(3, 3), stride=2, name="stem")(x, train)
@@ -221,6 +222,9 @@ class MobileFaceNet(nn.Module):
         for b in range(2):
             x = DepthWiseBlock(c2, expand=256, stride=1, residual=True,
                                name=f"res3_{b}")(x, train)
+        # reference runs conv_sep + GDC in fp32 even under autocast
+        # (mobilefacenet.py:122-125: `x.float() if self.fp16`)
+        x = x.astype(jnp.float32)
         x = _ConvBNPReLU(512, name="sep")(x, train)
         # GDC (mobilefacenet.py:76-86): global 7x7 depthwise linear conv
         x = _ConvBN(512, kernel=(x.shape[1], x.shape[2]), groups=512,

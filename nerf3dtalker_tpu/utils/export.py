@@ -71,13 +71,9 @@ def load_exported(blob: bytes):
     return exp.call, header
 
 
-def export_headnerf(cfg=None, params=None, path: Optional[str] = None) -> bytes:
-    """Export the flagship HeadNeRF forward (params baked in as constants).
-
-    Mirrors what `torch2onnx.py:24-39` does for the arcface backbone:
-    weights are embedded so the artifact is fully standalone. Uses the
-    XLA (non-Pallas) path so the artifact is portable across platforms.
-    """
+def _flagship(cfg=None):
+    """(model, example inputs) for the flagship HeadNeRF forward on the
+    XLA (non-Pallas) path — shared by export and target construction."""
     import jax.numpy as jnp
 
     from nerf3dtalker_tpu.config import reso64
@@ -98,6 +94,25 @@ def export_headnerf(cfg=None, params=None, path: Optional[str] = None) -> bytes:
         Tvec=jnp.asarray(cam.Tvec),
         inv_inmat=jnp.asarray(cam.inv_inmat),
     )
+    return cfg, model, inp
+
+
+def flagship_init(cfg=None, seed: int = 0):
+    """Randomly initialized flagship params (the soft-load target)."""
+    import jax
+
+    _, model, inp = _flagship(cfg)
+    return model.init(jax.random.key(seed), **inp)
+
+
+def export_headnerf(cfg=None, params=None, path: Optional[str] = None) -> bytes:
+    """Export the flagship HeadNeRF forward (params baked in as constants).
+
+    Mirrors what `torch2onnx.py:24-39` does for the arcface backbone:
+    weights are embedded so the artifact is fully standalone. Uses the
+    XLA (non-Pallas) path so the artifact is portable across platforms.
+    """
+    cfg, model, inp = _flagship(cfg)
     if params is None:
         import jax
 

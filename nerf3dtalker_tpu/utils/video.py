@@ -77,7 +77,8 @@ def write_video(
         d = os.path.splitext(path)[0] + "_frames"
         os.makedirs(d, exist_ok=True)
         for i, f in enumerate(frames):
-            write_png(os.path.join(d, f"{i:05d}.png"), f)
+            f01 = f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
+            write_png(os.path.join(d, f"{i:05d}.png"), f01)
         warnings.warn(f"ffmpeg not found; wrote {len(frames)} PNGs to {d}")
         return
     for f in frames:

@@ -34,8 +34,10 @@ def main():
 
     import torch
 
+    import os
+
     sys.path.insert(0, "/root/reference")
-    sys.path.insert(0, ".")
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     from tests.test_reference_parity import _load_reference
 
     BaseOptions, HeadNeRFNet = _load_reference()

@@ -143,3 +143,37 @@ def test_render_consumes_fitted_latents(tmp_path, capsys):
     views = np.load(out)
     assert views.shape[0] == 2 and views.shape[-1] == 3
     assert np.isfinite(views).all()
+
+
+def test_render_loads_checkpoint_params(tmp_path, capsys):
+    """--ckpt path: checkpoint surgery (_nerf_params_from_ckpt) restores
+    trained NeRF params into the render model."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf3dtalker_tpu.config import NeRFConfig
+    from nerf3dtalker_tpu.models import HeadNeRF
+    from nerf3dtalker_tpu.utils.camera import base_cam, ray_grid
+    from nerf3dtalker_tpu.utils.checkpoints import save_checkpoint
+
+    cfg = NeRFConfig(featmap_size=8, featmap_nc=32, pred_img_size=32,
+                     num_sample_coarse=8, mlp_hidden=32)
+    model = HeadNeRF(cfg)
+    xy, _ = ray_grid(cfg.featmap_size)
+    cam = base_cam(cfg.featmap_size)
+    params = model.init(
+        jax.random.key(3), batch_xy=jnp.asarray(xy),
+        shape_code=jnp.zeros((1, cfg.shape_code_dims)),
+        appea_code=jnp.zeros((1, cfg.appea_code_dims)),
+        audio_style=jnp.zeros((1, cfg.audio_style_dims)),
+        Rmat=jnp.asarray(cam.Rmat), Tvec=jnp.asarray(cam.Tvec),
+        inv_inmat=jnp.asarray(cam.inv_inmat),
+    )
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(str(ckpt), {"params": {"nerf": params}}, step=0)
+
+    out = tmp_path / "orbit.npy"
+    main(["render", "--featmap-size", "8", "--img-size", "32",
+          "--ckpt", str(ckpt), "--views", "1", "--out", str(out)])
+    views = np.load(out)
+    assert views.shape[0] == 1 and np.isfinite(views).all()
