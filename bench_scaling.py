@@ -97,7 +97,7 @@ def main(argv=None):
         eff = rn / (r1 * n)
     else:
         rn, eff = r1, 1.0
-    print(json.dumps({
+    rec = {
         "metric": "scaling_efficiency",
         "platform": platform,
         "scale": scale,
@@ -107,8 +107,12 @@ def main(argv=None):
         "rays_per_s_ndev": round(rn, 1),
         "value": round(eff, 3),
         "unit": "fraction",
-        "vs_baseline": round(eff / 0.85, 3),   # target >= 85%
-    }))
+    }
+    if n > 1:
+        # the >=85% target is a MULTI-device scaling-efficiency target; a
+        # 1-device "efficiency vs target" is meaningless (VERDICT r3 Weak #4)
+        rec["vs_baseline"] = round(eff / 0.85, 3)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

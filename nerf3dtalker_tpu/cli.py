@@ -81,6 +81,10 @@ def cmd_train(args):
         ckpt_dir=args.ckpt_dir, use_vgg_loss=not args.no_vgg,
         vgg_weights=args.vgg_weights, seed=args.seed,
         native_prefetch=args.native_prefetch,
+        log_dir=args.log_dir,
+        use_tensorboard=args.tensorboard,
+        trace_dir=args.trace_dir, trace_steps=args.trace_steps,
+        guard_policy=args.guard_policy,
     )
     if args.data:
         arrays = dict(np.load(args.data))
@@ -101,7 +105,31 @@ def cmd_train(args):
 
         mesh = make_mesh(data=args.data_parallel, rays=args.ray_parallel)
 
-    t = Trainer(cfg, tc, train, val, mesh=mesh)
+    lpips = None
+    if args.lpips_weights:
+        # converted LPIPS-alex .npz (save_lpips_alex) — Eval_utils.py:108-115
+        from nerf3dtalker_tpu.utils.metrics import load_lpips_alex
+
+        lpips = load_lpips_alex(args.lpips_weights)
+
+    if args.resume:
+        from nerf3dtalker_tpu.utils.checkpoints import has_checkpoint
+
+        if not has_checkpoint(args.ckpt_dir):
+            print(f"--resume: no checkpoint under {args.ckpt_dir}; "
+                  "starting fresh")
+            t = Trainer(cfg, tc, train, val, mesh=mesh, lpips=lpips)
+        else:
+            # self-describing checkpoint: model+optimizer rebuilt from the
+            # embedded config (CLI flags other than --epochs are ignored)
+            t = Trainer.from_checkpoint(
+                args.ckpt_dir, train, val, mesh=mesh, lpips=lpips,
+                epochs=args.epochs,
+            )
+            print(f"resumed from step {int(t.state.step)} "
+                  f"(epoch {t.start_epoch})")
+    else:
+        t = Trainer(cfg, tc, train, val, mesh=mesh, lpips=lpips)
     hist = t.train(args.epochs)
     print(json.dumps(hist[-1]))
 
@@ -323,15 +351,7 @@ def cmd_render(args):
         inv_inmat=jnp.asarray(cam.inv_inmat),
     )
     if getattr(args, "ckpt", ""):
-        from nerf3dtalker_tpu.utils.checkpoints import (
-            restore_checkpoint, soft_load,
-        )
-
-        state, _ = restore_checkpoint(args.ckpt, None)
-        p = state["params"] if "params" in state else state
-        if "nerf" in p:
-            p = p["nerf"]
-        params = soft_load(params, p)
+        params = _nerf_params_from_ckpt(args.ckpt, params)
     views = render_novel_views(
         model, params, jnp.asarray(shape), jnp.asarray(appea), jnp.asarray(aud),
         view_num=args.views,
@@ -601,6 +621,24 @@ def main(argv=None):
                     help="C++ threaded batch prefetcher for the input path")
     pt.add_argument("--data-parallel", type=int, default=1)
     pt.add_argument("--ray-parallel", type=int, default=1)
+    pt.add_argument("--resume", action="store_true",
+                    help="continue from the last checkpoint in --ckpt-dir "
+                         "(config is rebuilt from the checkpoint itself)")
+    pt.add_argument("--log-dir", type=str, default="./logs",
+                    help="metrics.jsonl / TB / validation dumps go here")
+    pt.add_argument("--tensorboard", action="store_true",
+                    help="mirror per-epoch metrics to TensorBoard scalars")
+    pt.add_argument("--trace-dir", type=str, default="",
+                    help="capture a jax.profiler trace of the first epoch's "
+                         "steady-state steps into this dir")
+    pt.add_argument("--trace-steps", type=int, default=5)
+    pt.add_argument("--guard-policy", type=str, default="warn",
+                    choices=["warn", "rollback", "abort"],
+                    help="on non-finite steps: warn / rollback to last "
+                         "checkpoint / abort")
+    pt.add_argument("--lpips-weights", type=str, default="",
+                    help="LPIPS-alex .npz (utils.metrics.save_lpips_alex) "
+                         "to report LPIPS in validation")
     pt.set_defaults(fn=cmd_train)
 
     pv = sub.add_parser("train-vq")

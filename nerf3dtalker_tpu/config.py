@@ -168,6 +168,27 @@ class TrainConfig:
     bf16_compute: bool = True
     ckpt_dir: str = "./logs/ckpt"
     log_dir: str = "./logs"
+    # --- observability (utils/observability.py; replaces the reference's
+    # SummaryWriter at talker_trainer.py:623 / train_vq.py:108) ---
+    # write per-epoch metrics.jsonl under log_dir
+    metric_log: bool = True
+    # mirror metrics to TensorBoard scalars when torch.utils.tensorboard
+    # is importable
+    use_tensorboard: bool = False
+    # capture a jax.profiler trace of `trace_steps` training steps of the
+    # first epoch into trace_dir (Perfetto/TB-profile viewable)
+    trace_dir: str = ""
+    trace_steps: int = 5
+    # --- failure recovery (utils/guards.py StepGuard; first-class version
+    # of the reference's print-and-continue at talker_trainer.py:1071-1073
+    # and its resume-from-checkpoint recovery, :1167-1201) ---
+    # what to do when an epoch contains non-finite steps:
+    #   "warn"     log and continue (params already protected per-step by
+    #              guarded_update inside the jitted step)
+    #   "rollback" restore params+optimizer from the last checkpoint
+    #   "abort"    raise after `guard_max_bad` cumulative bad steps
+    guard_policy: str = "warn"
+    guard_max_bad: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

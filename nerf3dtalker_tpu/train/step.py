@@ -52,12 +52,18 @@ def make_optimizer(cfg: TrainConfig, steps_per_epoch: int = 1) -> optax.Gradient
 
 @dataclasses.dataclass(frozen=True)
 class StepFns:
-    """Bundle of jittable functions for one model configuration."""
+    """Bundle of jittable functions for one model configuration.
+
+    `train_step_aot` is the underlying jit object (with its shardings
+    baked in) for AOT lowering/compile-only inspection — used by the
+    sharded-HLO collective assertions in tests/test_aot_sharded_hlo.py.
+    """
 
     train_step: Any
     eval_step: Any
     render: Any
     init: Any
+    train_step_aot: Any = None
 
 
 def build_step_fns(
@@ -157,7 +163,7 @@ def build_step_fns(
         return losses["total_loss"], losses
 
     def train_step(state: TrainState, batch: Dict, rng: jax.Array):
-        from nerf3dtalker_tpu.utils.guards import guarded_update
+        from nerf3dtalker_tpu.utils.guards import guarded_update, tree_select
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, rng
@@ -165,8 +171,11 @@ def build_step_fns(
         updates, new_opt = optimizer.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # skip the update when gradients are non-finite (first-class version
-        # of the reference's isnan warning, talker_trainer.py:1071-1073)
+        # of the reference's isnan warning, talker_trainer.py:1071-1073);
+        # the optimizer state is guarded with the same flag so a NaN step
+        # can't poison Adam's moments
         new_params, ok = guarded_update(state.params, new_params, grads)
+        new_opt = tree_select(ok, new_opt, state.opt_state)
         losses = {**losses, "finite_step": ok.astype(jnp.float32)}
         return TrainState(new_params, new_opt, state.step + 1), losses
 
@@ -207,6 +216,7 @@ def build_step_fns(
             eval_step=lambda p, b: jit_eval(p, _filter(b)),
             render=jax.jit(render),
             init=init,
+            train_step_aot=jit_train,
         )
 
     # ---- multi-chip: batch over "data", rays over "rays", params
@@ -244,4 +254,5 @@ def build_step_fns(
             p, {k: v for k, v in b.items() if k in render_sh}
         ),
         init=init,
+        train_step_aot=jit_train,
     )

@@ -83,6 +83,17 @@ class Trainer:
         self.lpips = lpips
         self.state: Optional[TrainState] = None
         self.history: list = []
+        self.start_epoch = 0
+        self._steps_per_epoch = steps_per_epoch
+        # failure-recovery policy over the device-side finite_step counter
+        # (reference analog: isnan warning talker_trainer.py:1071-1073 +
+        # manual checkpoint recovery :1167-1201)
+        from nerf3dtalker_tpu.utils.guards import StepGuard
+
+        self.guard = StepGuard(
+            max_bad=train_cfg.guard_max_bad, policy=train_cfg.guard_policy
+        )
+        self._trace_pending = bool(train_cfg.trace_dir)
         self._prefetcher = None
         if train_cfg.native_prefetch:
             try:
@@ -106,36 +117,70 @@ class Trainer:
     def resume(self, path: str) -> int:
         assert self.state is not None, "call init() first (supplies structure)"
         self.state, meta = ckpt.restore_checkpoint(path, self.state)
-        return int(meta.get("step", 0))
+        step = int(meta.get("step", 0))
+        self.start_epoch = step // max(self._steps_per_epoch, 1)
+        return step
 
     def save(self, metrics: Optional[Dict] = None) -> None:
         if not self.train_cfg.ckpt_dir:
             return
+        import dataclasses
+
         os.makedirs(self.train_cfg.ckpt_dir, exist_ok=True)
-        meta_cfg = {
-            "nerf": self.nerf_cfg.__dict__ if hasattr(self.nerf_cfg, "__dict__") else {},
-            "metrics": metrics or {},
-        }
+        # checkpoints are self-describing: the full NeRF+Train config rides
+        # in the checkpoint metadata so from_checkpoint() can rebuild the
+        # model+optimizer from the path alone — the reference's `para`
+        # block (talker_trainer.py:915-918, consumed at train.py:18-22)
         ckpt.save_checkpoint(
-            self.train_cfg.ckpt_dir, self.state, config=None, step=int(self.state.step)
+            self.train_cfg.ckpt_dir,
+            self.state,
+            config={
+                "nerf": dataclasses.asdict(self.nerf_cfg),
+                "train": dataclasses.asdict(self.train_cfg),
+            },
+            step=int(self.state.step),
+            metrics=metrics or {},
         )
-        import json
 
-        with open(
-            os.path.join(self.train_cfg.ckpt_dir, f"meta_{int(self.state.step)}.json"),
-            "w",
-        ) as f:
-            import dataclasses
+    @classmethod
+    def from_checkpoint(
+        cls,
+        path: str,
+        train_data: FrameDataset,
+        val_data: Optional[FrameDataset] = None,
+        mesh=None,
+        lpips: Optional[tuple] = None,
+        **cfg_overrides,
+    ) -> "Trainer":
+        """Rebuild a Trainer (model + optimizer + state) from a checkpoint
+        directory alone — no external config needed (the reference
+        restores `para` from the checkpoint the same way, train.py:18-22).
 
-            json.dump(
-                {
-                    "step": int(self.state.step),
-                    "nerf_config": dataclasses.asdict(self.nerf_cfg),
-                    "metrics": metrics or {},
-                },
-                f,
-                indent=2,
+        ``cfg_overrides`` are applied on top of the stored TrainConfig
+        (e.g. ``epochs=60`` to extend a run)."""
+        import dataclasses
+
+        meta = ckpt.load_meta(path)
+        cfgd = meta.get("config", {})
+        if "nerf" not in cfgd:
+            raise ValueError(
+                f"checkpoint at {path} has no embedded config; "
+                "pass configs and use resume() instead"
             )
+
+        def build(cls_, d):
+            fields = {f.name for f in dataclasses.fields(cls_)}
+            return cls_(**{k: v for k, v in d.items() if k in fields})
+
+        nerf_cfg = build(NeRFConfig, cfgd["nerf"])
+        train_cfg = build(
+            TrainConfig, {**cfgd.get("train", {}), **cfg_overrides}
+        )
+        t = cls(nerf_cfg, train_cfg, train_data, val_data, mesh=mesh,
+                lpips=lpips)
+        t.init()
+        t.resume(path)
+        return t
 
     # ------------------------------------------------------------- training
 
@@ -155,6 +200,7 @@ class Trainer:
             )
         else:
             batches = self.train_data.epoch(self.train_cfg.batch_size, rng)
+        tracing = False
         for i, batch in enumerate(batches):
             if self.mesh is not None:
                 from nerf3dtalker_tpu.parallel.mesh import shard_batch
@@ -164,16 +210,40 @@ class Trainer:
                 (self.train_cfg.seed + epoch) * 100003 + i
             )
             self.state, losses = self.fns.train_step(self.state, batch, step_rng)
+            if self._trace_pending:
+                # profile steps 1..trace_steps of the first epoch (step 0
+                # is compile; block so the capture holds only steady-state
+                # device work) — utils/observability.trace region
+                from nerf3dtalker_tpu.utils import observability as obs
+
+                if i == 0:
+                    jax.block_until_ready(losses)
+                    obs.start_trace(self.train_cfg.trace_dir)
+                    tracing = True
+                elif tracing and i >= self.train_cfg.trace_steps:
+                    jax.block_until_ready(losses)
+                    obs.stop_trace()
+                    tracing = False
+                    self._trace_pending = False
+                    log.info("profiler trace written to %s",
+                             self.train_cfg.trace_dir)
             totals = (
                 losses if totals is None
                 else jax.tree.map(jax.numpy.add, totals, losses)
             )
             n += 1
+        if tracing:   # epoch shorter than trace_steps
+            jax.block_until_ready(totals)
+            from nerf3dtalker_tpu.utils import observability as obs
+
+            obs.stop_trace()
+            self._trace_pending = False
         avg = (
             {k: float(v) / max(n, 1) for k, v in totals.items()}
             if totals else {}
         )
         avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
+        self._last_epoch_steps = n
         return avg
 
     def validate(self, dump_dir: Optional[str] = None, epoch: int = 0) -> Dict[str, float]:
@@ -245,11 +315,56 @@ class Trainer:
             os.path.join(self.train_cfg.log_dir, "temp_image")
             if self.train_cfg.log_dir else None
         )
-        for epoch in range(epochs):
-            train_metrics = self.train_one_epoch(epoch)
-            val_metrics = self.validate(dump_dir=dump_dir, epoch=epoch)
-            rec = {"epoch": epoch, **train_metrics, **val_metrics}
-            self.history.append(rec)
-            log.info("epoch %d: %s", epoch, rec)
-            self.save(metrics=val_metrics)
+        # per-epoch JSONL (+optional TB) metric stream from the
+        # device-side accumulated losses — the reference's SummaryWriter
+        # surface (talker_trainer.py:623, train_vq.py:108)
+        mlog = None
+        if self.train_cfg.log_dir and self.train_cfg.metric_log:
+            from nerf3dtalker_tpu.utils.observability import MetricLogger
+
+            mlog = MetricLogger(
+                self.train_cfg.log_dir,
+                use_tensorboard=self.train_cfg.use_tensorboard,
+            )
+        try:
+            for epoch in range(self.start_epoch, epochs):
+                train_metrics = self.train_one_epoch(epoch)
+                # StepGuard consumes the jitted step's finite_step counter
+                # once per epoch (no per-step host sync) and may roll the
+                # state back to the last good checkpoint
+                n = self._last_epoch_steps
+                n_bad = int(round(n * (1.0 - train_metrics.get("finite_step", 1.0))))
+                action = self.guard.epoch_check(n_bad, n, epoch)
+                if action == "rollback":
+                    if self.train_cfg.ckpt_dir and ckpt.has_checkpoint(
+                        self.train_cfg.ckpt_dir
+                    ):
+                        step = self.resume(self.train_cfg.ckpt_dir)
+                        log.warning(
+                            "StepGuard: rolled back to checkpoint step %d "
+                            "after %d non-finite step(s) in epoch %d",
+                            step, n_bad, epoch,
+                        )
+                    else:
+                        log.warning(
+                            "StepGuard: rollback requested but no checkpoint "
+                            "exists yet; continuing with guarded params"
+                        )
+                    rec = {"epoch": epoch, **train_metrics,
+                           "rollback": 1.0}
+                    self.history.append(rec)
+                    if mlog is not None:
+                        mlog.log(int(self.state.step), rec)
+                    continue   # don't validate/checkpoint the bad epoch
+                val_metrics = self.validate(dump_dir=dump_dir, epoch=epoch)
+                rec = {"epoch": epoch, **train_metrics, **val_metrics}
+                self.history.append(rec)
+                log.info("epoch %d: %s", epoch, rec)
+                if mlog is not None:
+                    mlog.log(int(self.state.step),
+                             {k: v for k, v in rec.items() if k != "epoch"})
+                self.save(metrics=val_metrics)
+        finally:
+            if mlog is not None:
+                mlog.close()
         return self.history

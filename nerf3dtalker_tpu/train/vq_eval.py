@@ -107,7 +107,15 @@ def frame_vq_apply(cfg: VQConfig, vq_params) -> Dict:
     V3 = H * W * 3
     quantizer = VectorQuantizer(cfg.n_embed, cfg.embed_dim, cfg.beta)
     q_params = {"params": vq_params["params"]["quantize"]}
-    codes_per_frame = (H * cfg.hidden_size) // cfg.embed_dim
+    # derive L (codes per frame) from the encoder's actual output shape
+    # (shape-only trace; a closed-form guess breaks when the conv stack's
+    # downsampling changes with img_size/hidden_size)
+    q_shape = jax.eval_shape(
+        lambda img: vq.apply(vq_params, img, method=VQAutoEncoder.encode)
+        .quantized,
+        jax.ShapeDtypeStruct((1, H, W, 3), jnp.float32),
+    )
+    codes_per_frame = int(np.prod(q_shape.shape)) // cfg.embed_dim
 
     def get_gt_quant(motion):            # [B, T, V3] -> [B, T*L, e]
         B, T, _ = motion.shape

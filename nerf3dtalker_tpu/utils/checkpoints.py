@@ -21,22 +21,31 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(path: str, state: Any, config: Any = None, step: int = 0) -> None:
-    """Save a pytree + config to `path` (a directory)."""
+def save_checkpoint(
+    path: str, state: Any, config: Any = None, step: int = 0,
+    metrics: Optional[dict] = None,
+) -> None:
+    """Save a pytree + self-describing config (+validation metrics) to
+    `path` (a directory)."""
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(os.path.join(path, f"state_{step}"), state)
     ckptr.wait_until_finished()
-    if config is not None:
-        meta = {
-            "step": step,
-            "config": dataclasses.asdict(config)
-            if dataclasses.is_dataclass(config)
-            else config,
-            "config_class": type(config).__name__,
-        }
+    if config is not None or metrics is not None:
+        meta = {"step": step}
+        if config is not None:
+            meta["config"] = (
+                dataclasses.asdict(config)
+                if dataclasses.is_dataclass(config)
+                else config
+            )
+            meta["config_class"] = type(config).__name__
+        if metrics is not None:
+            # the reference embeds SSIM/PSNR/LPIPS in checkpoint
+            # filenames (talker_trainer.py:920-937); we stamp them here
+            meta["metrics"] = metrics
         with open(os.path.join(path, f"meta_{step}.json"), "w") as f:
             json.dump(meta, f, indent=2)
 
@@ -49,22 +58,44 @@ def restore_checkpoint(
 
     path = os.path.abspath(path)
     if step is None:
-        steps = sorted(
-            int(d.split("_")[1])
-            for d in os.listdir(path)
-            if d.startswith("state_")
-        )
-        if not steps:
-            raise FileNotFoundError(f"no checkpoints under {path}")
-        step = steps[-1]
+        step = latest_step(path)
     ckptr = ocp.StandardCheckpointer()
     state = ckptr.restore(os.path.join(path, f"state_{step}"), target=target)
-    meta_path = os.path.join(path, f"meta_{step}.json")
-    meta = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-    return state, meta
+    return state, load_meta(path, step)
+
+
+def latest_step(path: str) -> int:
+    """Newest step number saved under `path`."""
+    path = os.path.abspath(path)
+    steps = sorted(
+        int(d.split("_")[1])
+        for d in os.listdir(path)
+        if d.startswith("state_")
+    )
+    if not steps:
+        raise FileNotFoundError(f"no checkpoints under {path}")
+    return steps[-1]
+
+
+def load_meta(path: str, step: Optional[int] = None) -> dict:
+    """Read the config/metrics metadata of a checkpoint without touching
+    the (potentially large) state — the reference's `para` block
+    (talker_trainer.py:915-918) read back at train.py:18-22."""
+    if step is None:
+        step = latest_step(path)
+    meta_path = os.path.join(os.path.abspath(path), f"meta_{step}.json")
+    if not os.path.exists(meta_path):
+        return {"step": step}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+def has_checkpoint(path: str) -> bool:
+    try:
+        latest_step(path)
+        return True
+    except (FileNotFoundError, OSError):
+        return False
 
 
 def soft_load(target: Any, source: Any) -> Any:

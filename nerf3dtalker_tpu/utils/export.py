@@ -63,9 +63,14 @@ def load_exported(blob: bytes):
     """
     from jax import export as jexport
 
-    if blob[:4] != _MAGIC:
+    if len(blob) < 8 or blob[:4] != _MAGIC:
         raise ValueError("not a nerf3dtalker export artifact")
     (hlen,) = struct.unpack("<I", blob[4:8])
+    if len(blob) < 8 + hlen:
+        raise ValueError(
+            f"truncated artifact: header claims {hlen} bytes, "
+            f"only {len(blob) - 8} present"
+        )
     header = json.loads(blob[8 : 8 + hlen].decode("utf-8"))
     exp = jexport.deserialize(bytearray(blob[8 + hlen :]))
     return exp.call, header

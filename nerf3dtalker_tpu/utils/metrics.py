@@ -149,3 +149,36 @@ def convert_lpips_alex(lpips_module) -> tuple:
         jnp.asarray(sd[f"lin{i}.model.1.weight"][0, :, 0, 0]) for i in range(5)
     ]
     return {"params": params}, lins
+
+
+def save_lpips_alex(path: str, params: Dict, lins: List[jnp.ndarray]) -> None:
+    """Write converted LPIPS-alex weights as a flat .npz (the portable
+    sibling of :func:`convert_lpips_alex` for images without the `lpips`
+    package — run the conversion offline, ship the .npz)."""
+    import numpy as np
+
+    flat = {}
+    for i in range(5):
+        flat[f"conv{i}_kernel"] = np.asarray(params["params"][f"conv{i}"]["kernel"])
+        flat[f"conv{i}_bias"] = np.asarray(params["params"][f"conv{i}"]["bias"])
+        flat[f"lin{i}"] = np.asarray(lins[i])
+    np.savez(path, **flat)
+
+
+def load_lpips_alex(path: str) -> tuple:
+    """Load LPIPS-alex weights for :func:`lpips_alex` from an .npz written
+    by :func:`save_lpips_alex` (mirrors `load_vgg16`'s .npz acceptance so
+    the CLI works without torch's `lpips` package in the image; reference
+    consumer: Utils/Eval_utils.py:108-115)."""
+    import numpy as np
+
+    z = np.load(path)
+    params = {
+        f"conv{i}": {
+            "kernel": jnp.asarray(z[f"conv{i}_kernel"]),
+            "bias": jnp.asarray(z[f"conv{i}_bias"]),
+        }
+        for i in range(5)
+    }
+    lins = [jnp.asarray(z[f"lin{i}"]) for i in range(5)]
+    return {"params": params}, lins

@@ -38,6 +38,21 @@ def trace(logdir: str, enabled: bool = True):
         jax.profiler.stop_trace()
 
 
+def start_trace(logdir: str) -> None:
+    """Begin a profiler capture mid-loop (pair with :func:`stop_trace`;
+    the Trainer uses this to profile steps k..k+N without tracing the
+    first-step compile)."""
+    import jax
+
+    jax.profiler.start_trace(logdir)
+
+
+def stop_trace() -> None:
+    import jax
+
+    jax.profiler.stop_trace()
+
+
 def annotate(name: str):
     """Named profiler span (jax.profiler.TraceAnnotation)."""
     import jax

@@ -11,11 +11,25 @@ overlap iterations — with a single scalar host transfer at the end:
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+
+
+def enable_compile_cache(path: str = "~/.cache/nerf3dt_xla") -> None:
+    """Persist compiled executables to disk so repeat bench/train runs skip
+    the multi-minute remote-compile tunnel round trips. No-op if the
+    backend doesn't support the persistent cache."""
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir", os.path.expanduser(path)
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
 
 def chained_time(

@@ -79,7 +79,17 @@ def write_video(
         for i, f in enumerate(frames):
             f01 = f.astype(np.float32) / 255.0 if f.dtype == np.uint8 else f
             write_png(os.path.join(d, f"{i:05d}.png"), f01)
-        warnings.warn(f"ffmpeg not found; wrote {len(frames)} PNGs to {d}")
+        msg = f"ffmpeg not found; wrote {len(frames)} PNGs to {d}"
+        if audio_path:
+            import shutil
+
+            dst = os.path.join(d, os.path.basename(audio_path))
+            try:
+                shutil.copy(audio_path, dst)
+                msg += f"; audio track not muxed, copied to {dst}"
+            except OSError:
+                msg += f"; audio track {audio_path} not muxed (copy failed)"
+        warnings.warn(msg)
         return
     for f in frames:
         u8 = np.clip(f * 255 if f.dtype != np.uint8 else f, 0, 255).astype(np.uint8)

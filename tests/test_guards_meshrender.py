@@ -30,17 +30,37 @@ def test_guarded_update_skips_bad():
 
 
 def test_step_guard_raises_after_run():
-    g = StepGuard(max_consecutive_bad=3)
+    g = StepGuard(max_bad=3, policy="abort")
     assert g.check(True, 0)
     assert not g.check(False, 1)
     assert not g.check(False, 2)
     with pytest.raises(FloatingPointError):
         g.check(False, 3)
     # recovery resets the run
-    g2 = StepGuard(max_consecutive_bad=3)
+    g2 = StepGuard(max_bad=3, policy="abort")
     g2.check(False, 0)
     g2.check(True, 1)
     assert g2.bad_run == 0
+
+
+def test_step_guard_epoch_policies():
+    # warn: reports but keeps going
+    g = StepGuard(policy="warn")
+    assert g.epoch_check(0, 10, epoch=0) == "ok"
+    assert g.epoch_check(2, 10, epoch=1) == "warn"
+    assert g.total_bad == 2
+    # rollback: asks the caller to restore, then resets the run
+    g = StepGuard(policy="rollback")
+    assert g.epoch_check(1, 10, epoch=0) == "rollback"
+    assert g.rollbacks == 1
+    assert g.bad_run == 0
+    # abort: raises once the cumulative run reaches max_bad
+    g = StepGuard(max_bad=3, policy="abort")
+    assert g.epoch_check(2, 10, epoch=0) == "warn"
+    with pytest.raises(FloatingPointError):
+        g.epoch_check(1, 10, epoch=1)
+    with pytest.raises(ValueError):
+        StepGuard(policy="explode")
 
 
 def test_train_step_reports_finite_flag():
