@@ -145,7 +145,12 @@ class TrainConfig:
     """Training-driver hyperparameters (HeadNeRFOptions.py:77-88 +
     talker_trainer.py:665,722-727)."""
 
-    batch_size: int = 1
+    # frame batch per optimizer step. The reference trains B=1
+    # (talker_trainer.py:704-714); B=2 is the measured TPU sweet spot —
+    # the bg render pass and step overheads amortize across frames
+    # (+3% rays/s, scripts/bench_batch.py) with identical semantics to
+    # 2-way data parallelism
+    batch_size: int = 2
     epochs: int = 30
     lr: float = 1e-4
     lr_audio: float = 1e-4
@@ -165,6 +170,13 @@ class TrainConfig:
     # (native/nerf3dt_native.cpp); falls back to the Python loader if the
     # shared library can't be built
     native_prefetch: bool = False
+    # keep the whole frame dataset (incl. precomputed VGG planes) resident
+    # in HBM and gather batches on-device — per-step host->device traffic
+    # drops to the frame indices. The dominant cost of the sustained
+    # training loop otherwise is batch upload (~63 MB/frame at Reso64 with
+    # VGG planes). Falls back to the host loader above this budget.
+    device_cache: bool = True
+    device_cache_bytes: int = 6 * 1024**3
     bf16_compute: bool = True
     ckpt_dir: str = "./logs/ckpt"
     log_dir: str = "./logs"

@@ -110,6 +110,48 @@ class FrameDataset:
         for i in range(0, end, batch_size):
             yield self.batch(order[i : i + batch_size])
 
+    # ------------------------------------------------------- device cache
+
+    def nbytes(self) -> int:
+        return sum(int(np.asarray(v).nbytes) for v in self.arrays.values())
+
+    def to_device(self, batch_size: int) -> None:
+        """Push every per-frame array (incl. precomputed VGG planes) to the
+        accelerator once; `device_batch` then gathers training batches
+        ON-device, so the per-step host->device traffic is just the frame
+        indices. At Reso64 with VGG planes a B=2 batch is ~126 MB — over a
+        slow host link that upload, not compute, dominates the step."""
+        import jax.numpy as jnp
+
+        self._dev = {k: jnp.asarray(v) for k, v in self.arrays.items()}
+        self._dev_xy = jnp.asarray(np.tile(self.xy, (batch_size, 1, 1)))
+
+    def device_batch(self, idx: np.ndarray) -> Dict:
+        """On-device gather of a batch (requires `to_device`)."""
+        import jax.numpy as jnp
+
+        i = jnp.asarray(np.asarray(idx, np.int32))
+        d = self._dev
+        b = {
+            "gt_rgb": jnp.take(d["images"], i, 0),
+            "head_mask": jnp.take(d["head_mask"], i, 0),
+            "mels": jnp.take(d["mels"], i, 0),
+            "audio_exp": jnp.take(d["audio_exp"], i, 0),
+            "iden": jnp.take(d["iden"], i, 0),
+            "expr": jnp.take(d["expr"], i, 0),
+            "text": jnp.take(d["text"], i, 0),
+            "illu": jnp.take(d["illu"], i, 0),
+            "Rmat": jnp.take(d["Rmat"], i, 0),
+            "Tvec": jnp.take(d["Tvec"], i, 0),
+            "inv_inmat": jnp.take(d["inv_inmat"], i, 0),
+        }
+        for j in range(4):
+            k = f"vgg_f{j}"
+            if k in d:
+                b[k] = jnp.take(d[k], i, 0)
+        b["xy"] = self._dev_xy
+        return b
+
 
 def synthetic_dataset(
     cfg, num_frames: int = 8, seed: int = 0

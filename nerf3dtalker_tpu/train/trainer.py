@@ -94,8 +94,26 @@ class Trainer:
             max_bad=train_cfg.guard_max_bad, policy=train_cfg.guard_policy
         )
         self._trace_pending = bool(train_cfg.trace_dir)
+        # device-resident dataset cache: batches gather on-device, the
+        # per-step host->device traffic is just frame indices (the
+        # minimise-host-transfers rule; a Reso64 B=2 batch with VGG planes
+        # is ~126 MB of upload otherwise). Takes precedence over the
+        # native prefetcher (whose host-side role it obsoletes); datasets
+        # above the HBM budget fall back to the host loaders below.
+        self._use_device_cache = False
+        if (
+            train_cfg.device_cache
+            and mesh is None
+            and train_data.nbytes() <= train_cfg.device_cache_bytes
+        ):
+            train_data.to_device(train_cfg.batch_size)
+            self._use_device_cache = True
+            log.info(
+                "device-resident dataset cache on (%.1f MB)",
+                train_data.nbytes() / 1e6,
+            )
         self._prefetcher = None
-        if train_cfg.native_prefetch:
+        if train_cfg.native_prefetch and not self._use_device_cache:
             try:
                 from nerf3dtalker_tpu.data.native import FramePrefetcher
 
@@ -193,7 +211,16 @@ class Trainer:
         totals: Optional[Dict] = None
         n = 0
         t0 = time.time()
-        if self._prefetcher is not None:
+        if self._use_device_cache:
+            bs = self.train_cfg.batch_size
+            order = np.arange(len(self.train_data))
+            rng.shuffle(order)
+            end = len(order) - (len(order) % bs)
+            batches = (
+                self.train_data.device_batch(order[i : i + bs])
+                for i in range(0, end, bs)
+            )
+        elif self._prefetcher is not None:
             batches = (
                 self._prefetcher.next()
                 for _ in range(self._prefetcher.steps_per_epoch)

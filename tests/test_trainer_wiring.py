@@ -112,6 +112,8 @@ def test_stepguard_rollback_restores_checkpoint(tmp_path):
 
     # poison the inputs: every step of the next epoch produces NaN grads
     t.train_data.arrays["mels"][:] = np.nan
+    if t._use_device_cache:     # re-upload so the poison reaches the device
+        t.train_data.to_device(t.train_cfg.batch_size)
     hist = t.train(epochs=2)   # re-runs epoch 0.. (start_epoch still 0)
     bad = [r for r in hist if r.get("rollback")]
     assert bad, "no rollback epoch recorded"
@@ -140,3 +142,47 @@ def test_nan_step_does_not_poison_optimizer_state(tmp_path):
     st3, l3 = t.fns.train_step(st2, batch, jax.random.key(2))
     assert float(l3["finite_step"]) == 1.0
     assert np.all(np.isfinite(_leaf(st3)))
+
+
+def test_lpips_npz_roundtrip(tmp_path):
+    """save_lpips_alex -> load_lpips_alex preserves the metric exactly
+    (the portable path for images without the `lpips` torch package;
+    CLI: train --lpips-weights)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf3dtalker_tpu.utils.metrics import (
+        AlexNetFeatures,
+        load_lpips_alex,
+        lpips_alex,
+        save_lpips_alex,
+    )
+
+    params = AlexNetFeatures().init(jax.random.key(0), jnp.zeros((1, 64, 64, 3)))
+    lins = [jnp.abs(jax.random.normal(jax.random.key(i), (c,)))
+            for i, c in enumerate((64, 192, 384, 256, 256))]
+    p = str(tmp_path / "lpips_alex.npz")
+    save_lpips_alex(p, params, lins)
+    params2, lins2 = load_lpips_alex(p)
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    d1 = float(lpips_alex(params, lins, a, b)[0])
+    d2 = float(lpips_alex(params2, lins2, a, b)[0])
+    assert np.isclose(d1, d2, rtol=1e-6)
+    assert d1 > 0
+
+
+def test_device_cache_matches_host_loader(tmp_path):
+    """The device-resident dataset cache (on-device batch gathers) must
+    train identically to the host loader — same data, same order, same
+    losses."""
+    t_dev = _trainer(tmp_path / "a")
+    t_host = _trainer(tmp_path / "b", device_cache=False)
+    assert t_dev._use_device_cache
+    assert not t_host._use_device_cache
+    h1 = t_dev.train(epochs=1)
+    h2 = t_host.train(epochs=1)
+    assert np.isclose(h1[0]["total_loss"], h2[0]["total_loss"], rtol=1e-5)
+    np.testing.assert_allclose(_leaf(t_dev.state), _leaf(t_host.state),
+                               rtol=1e-5, atol=1e-7)
