@@ -76,6 +76,23 @@ def lipread_loss(
     return 1.0 - jnp.mean(num / jnp.maximum(den, 1e-8))
 
 
+def mouth_transform(
+    crops: jnp.ndarray,        # [T, 96, 96, 1] grayscale in [0, 1]
+    crop_size: int = 88,
+    mean: float = 0.421,
+    std: float = 0.165,
+) -> jnp.ndarray:
+    """The reference's pre-network mouth transform
+    (lipread_loss.py:113-121): CenterCrop(88, 88) then
+    Normalize(mean=0.421, std=0.165) — the LRS3 lipreader's input
+    statistics."""
+    H, W = crops.shape[1:3]
+    y0 = (H - crop_size) // 2
+    x0 = (W - crop_size) // 2
+    c = crops[:, y0 : y0 + crop_size, x0 : x0 + crop_size]
+    return (c - mean) / std
+
+
 # 68-landmark mouth indices used by the crop (lipread_loss setup:
 # _start_idx=48, _stop_idx=68)
 MOUTH_START, MOUTH_STOP = 48, 68

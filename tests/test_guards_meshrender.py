@@ -110,3 +110,43 @@ def test_render_mesh_sequence():
     # mesh covers the center; background is white
     assert frames[0, 16, 16, 0] < 1.0
     assert frames[0, 0, 0, 0] == 1.0
+
+
+def test_render_mesh_headlight_shading_and_rotation():
+    """The reference's effective light rig (ambient 0.2 + -z headlight +
+    Blinn specular; its five pyrender lights all share identity
+    orientation, render.py:93-112) plus the Rodrigues world-rotation knob
+    (render.py:44)."""
+    import jax.numpy as jnp
+
+    from nerf3dtalker_tpu.utils.mesh_render import shade_headlight
+
+    # face-on normal: brightest; grazing normal: ambient-only floor
+    n = jnp.asarray([[[0.0, 0.0, -1.0], [1.0, 0.0, 0.0]]])
+    rgb = np.asarray(shade_headlight(n))
+    assert rgb[0, 0].min() > rgb[0, 1].max()
+    np.testing.assert_allclose(rgb[0, 1], 0.3 * 0.2, atol=1e-6)
+
+    G = 5
+    xs, ys = np.meshgrid(np.linspace(-1, 1, G), np.linspace(-1, 1, G))
+    base = np.stack([xs, ys, np.zeros_like(xs)], -1).reshape(-1, 3).astype(np.float32)
+    tri = []
+    for r in range(G - 1):
+        for c in range(G - 1):
+            i = r * G + c
+            tri += [[i, i + 1, i + G], [i + 1, i + G + 1, i + G]]
+    faces = np.array(tri, np.int32)
+    seq = base[None]
+    plain = render_mesh_sequence(seq, faces, image_size=32, focal=20.0,
+                                 chunk=32, shading="headlight")
+    rot = render_mesh_sequence(seq, faces, image_size=32, focal=20.0,
+                               chunk=32, shading="headlight",
+                               rot=np.array([0.0, np.pi, 0.0]))
+    dark = render_mesh_sequence(seq, faces, image_size=32, focal=20.0,
+                                chunk=32, background=0.0)
+    assert np.isfinite(plain).all() and np.isfinite(rot).all()
+    # the unrotated plane back-faces the -z headlight (ambient floor);
+    # flipping it toward the light brightens the lit region
+    assert rot[0, 16, 16].mean() > plain[0, 16, 16].mean() + 0.1
+    # black background option (render.py:73-76)
+    assert dark[0, 0, 0, 0] == 0.0

@@ -139,3 +139,54 @@ def test_audio2pose_cvae_loss_descends():
     d = PoseSequenceDiscriminator()
     pd = d.init(jax.random.key(0), pm)
     assert d.apply(pd, pm).shape == (2, 1)
+
+
+def test_spectre_perceptual_expression_branch():
+    """E_expression (PerceptualEncoder, lipsrc/models/encoders.py:8-63):
+    temporal conv over the frame window, 53-dim head split into exp/jaw
+    with ReLU on jaw-x, and the encode() override composition
+    (lipspectre.py:141-156)."""
+    from nerf3dtalker_tpu.models.spectre import (
+        PerceptualExpressionEncoder,
+        spectre_encode,
+    )
+
+    pe = PerceptualExpressionEncoder()
+    seq = jnp.zeros((3, 32, 32, 3))
+    variables = pe.init(jax.random.key(0), seq)
+    exp, jaw = pe.apply(variables, seq)
+    assert exp.shape == (3, 50) and jaw.shape == (3, 3)
+    # jaw-x is rectified (encoders.py:61)
+    rng = jax.random.normal(jax.random.key(1), (2, 3, 32, 32, 3))
+    expv, jawv = pe.apply(variables, rng)        # video-batch layout
+    assert expv.shape == (2, 3, 50) and jawv.shape == (2, 3, 3)
+    assert float(jnp.min(jawv[..., 0])) >= 0.0
+
+    se = SpectreEncoder()
+    p = se.init(jax.random.key(2), jnp.zeros((3, 32, 32, 3)))
+    code = se.apply(p, jnp.zeros((3, 32, 32, 3)))
+    coded, deca_exp, deca_jaw = spectre_encode(code, exp, jaw)
+    # exp and jaw overridden by the perceptual branch; originals returned
+    np.testing.assert_array_equal(np.asarray(coded["exp"]), np.asarray(exp))
+    np.testing.assert_array_equal(
+        np.asarray(coded["pose"][..., 3:]), np.asarray(jaw)
+    )
+    assert deca_exp.shape == (3, 50) and deca_jaw.shape == (3, 3)
+    # global rotation untouched
+    np.testing.assert_array_equal(
+        np.asarray(coded["pose"][..., :3]),
+        np.asarray(split_deca_code(code)["pose"][..., :3]),
+    )
+
+
+def test_mouth_transform_stats():
+    """CenterCrop(88) + Normalize(0.421, 0.165) — the LRS3 lipreader's
+    input transform (lipread_loss.py:113-121)."""
+    from nerf3dtalker_tpu.models.lipreader import mouth_transform
+
+    crops = jnp.full((2, 96, 96, 1), 0.421)
+    out = mouth_transform(crops)
+    assert out.shape == (2, 88, 88, 1)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+    out2 = mouth_transform(jnp.full((1, 96, 96, 1), 0.421 + 0.165))
+    np.testing.assert_allclose(np.asarray(out2), 1.0, rtol=1e-5)
