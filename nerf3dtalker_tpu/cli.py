@@ -310,7 +310,11 @@ def cmd_animate(args):
     rec = {"frames": T, "size": list(frames.shape[1:3])}
     if getattr(args, "bench_serving", False):
         # warm serving rate: the first pass above paid the one-time chunk
-        # compile; a second full pass is pure steady-state render
+        # compile; a second full pass is pure steady-state render.
+        # ms_per_frame is WALL-clock incl. pulling every frame to host —
+        # over a remote-tunneled chip the link, not the chip, dominates
+        # it, so ms_per_frame_compute (chained in-jit timing of the same
+        # chunked render, no transfers) is reported alongside.
         import time
 
         t0 = time.perf_counter()
@@ -320,6 +324,34 @@ def cmd_animate(args):
         )
         dt = time.perf_counter() - t0
         rec["ms_per_frame"] = round(dt * 1e3 / max(T, 1), 3)
+
+        from nerf3dtalker_tpu.utils.camera import base_cam as _bc
+        from nerf3dtalker_tpu.utils.timing import chained_time
+
+        C = args.chunk
+        xy_b = jnp.asarray(np.tile(xy, (C, 1, 1)))
+        sc_b = jnp.asarray(np.tile(shape, (C, 1)).astype(np.float32))
+        ap_b = jnp.asarray(np.tile(appea, (C, 1)).astype(np.float32))
+        Rm = jnp.asarray(np.tile(cam.Rmat, (C, 1, 1)))
+        Tv = jnp.asarray(np.tile(cam.Tvec, (C, 1)))
+        iv = jnp.asarray(np.tile(cam.inv_inmat, (C, 1, 1)))
+
+        def rstep(aud):
+            out = model.apply(
+                nerf_params, batch_xy=xy_b, shape_code=sc_b,
+                appea_code=ap_b, audio_style=aud, Rmat=Rm, Tvec=Tv,
+                inv_inmat=iv,
+            )
+            return jnp.clip(out["merge_img"], 0.0, 1.0)
+
+        dtc = chained_time(
+            rstep,
+            lambda aud, img: aud + 1e-6 * jnp.mean(img),
+            jnp.asarray(styles[:C] if len(styles) >= C
+                        else np.tile(styles, (C, 1))[:C]),
+            iters=8,
+        )
+        rec["ms_per_frame_compute"] = round(dtc * 1e3 / C, 3)
     out = args.out or "talking_head.mp4"
     if out.endswith(".npy"):
         np.save(out, frames)

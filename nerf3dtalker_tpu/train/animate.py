@@ -56,7 +56,11 @@ def animate_sequence(
         )
         return jnp.clip(out["merge_img"], 0.0, 1.0)
 
-    frames = []
+    # two-phase: dispatch EVERY chunk asynchronously first, then pull the
+    # results — a per-chunk np.asarray would round-trip the (possibly
+    # remote) host link once per chunk and serialize compute behind
+    # transfer latency
+    pending = []
     for start in range(0, T, chunk):
         aud = np.zeros((chunk, audio_styles.shape[1]), np.float32)
         n = min(chunk, T - start)
@@ -65,8 +69,8 @@ def animate_sequence(
         if expr_seq is not None:
             e = expr_seq[start:start + n]
             sc[:n, cfg.iden_code_dims:cfg.iden_code_dims + e.shape[1]] = e
-        img = render_chunk(jnp.asarray(aud), jnp.asarray(sc))
-        frames.append(np.asarray(img[:n], np.float32))
+        pending.append((render_chunk(jnp.asarray(aud), jnp.asarray(sc)), n))
+    frames = [np.asarray(img[:n], np.float32) for img, n in pending]
     return np.concatenate(frames, axis=0)
 
 

@@ -555,3 +555,62 @@ def convert_au_classifier(sd: Dict) -> Dict:
         params[f"linear{i}"] = _dense(sd, f"linear{i}.0")
     params["linear4"] = _dense(sd, "linear4")
     return {"params": params}
+
+
+def _resnet50_trunk(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """torch resnet50 trunk (DECA-style lipsrc/models/resnet.py:23-88 /
+    torchvision layout) -> (params, batch_stats) for models.resnets.ResNet50."""
+    pfx = f"{prefix}." if prefix else ""
+    bp: Dict = {"conv1": _conv_nobias(sd, f"{pfx}conv1")}
+    bs: Dict = {}
+    bp["bn1"], bs["bn1"] = _bn2(sd, f"{pfx}bn1")
+    for li, n in enumerate((3, 4, 6, 3)):
+        for b in range(n):
+            base = f"{pfx}layer{li+1}.{b}"
+            name = f"layer{li+1}_{b}"
+            p: Dict = {}
+            s: Dict = {}
+            for ci in (1, 2, 3):
+                p[f"conv{ci}"] = _conv_nobias(sd, f"{base}.conv{ci}")
+                p[f"bn{ci}"], s[f"bn{ci}"] = _bn2(sd, f"{base}.bn{ci}")
+            if f"{base}.downsample.0.weight" in sd:
+                p["down_conv"] = _conv_nobias(sd, f"{base}.downsample.0")
+                p["down_bn"], s["down_bn"] = _bn2(sd, f"{base}.downsample.1")
+            bp[name], bs[name] = p, s
+    return bp, bs
+
+
+def convert_spectre_flame_encoder(sd: Dict) -> Dict:
+    """SPECTRE E_flame (ResnetEncoder, lipsrc/models/encoders.py:66-86:
+    resnet50 trunk + Linear(2048,1024) + ReLU + Linear(1024,236)) ->
+    models.spectre.SpectreEncoder variables."""
+    ep, es = _resnet50_trunk(sd, "encoder")
+    params = {
+        "encoder": ep,
+        "fc0": _dense(sd, "layers.0"),
+        "fc1": _dense(sd, "layers.2"),
+    }
+    return {"params": params, "batch_stats": {"encoder": es}}
+
+
+def convert_spectre_perceptual_encoder(sd: Dict) -> Dict:
+    """SPECTRE E_expression (PerceptualEncoder resnet50 variant,
+    lipsrc/models/encoders.py:8-63: trunk -> Conv1d(2048,256,k5) + BN1d +
+    ReLU -> Linear(256,53)) -> models.spectre.PerceptualExpressionEncoder
+    variables. Conv1d weight [out, in, k] -> flax [k, in, out]."""
+    bp, bs = _resnet50_trunk(sd, "encoder")
+    tbn_p, tbn_s = _bn2(sd, "temporal.1")
+    params = {
+        "backbone": bp,
+        "temporal": {
+            "kernel": np.asarray(sd["temporal.0.weight"])
+            .transpose(2, 1, 0).astype(np.float32),
+            "bias": np.asarray(sd["temporal.0.bias"]).astype(np.float32),
+        },
+        "temporal_bn": tbn_p,
+        "head": _dense(sd, "layers.0"),
+    }
+    return {
+        "params": params,
+        "batch_stats": {"backbone": bs, "temporal_bn": tbn_s},
+    }

@@ -114,6 +114,20 @@ def unsharp_enhancer(frames: np.ndarray, amount: float = 0.5) -> np.ndarray:
     return np.stack(out)
 
 
+def gfpgan_enhancer(params, model=None, batch: int = 4):
+    """Enhancer backed by the GFPGAN-v1-clean restorer
+    (models/gfpgan.py; the reference's gfpgan slot,
+    face_enhancer.py:51-60). Supply converted GFPGANv1.4 weights via
+    models.gfpgan.convert_gfpgan_clean."""
+
+    def run(frames: np.ndarray) -> np.ndarray:
+        from nerf3dtalker_tpu.models.gfpgan import restore_faces
+
+        return restore_faces(params, frames, model=model, batch=batch)
+
+    return run
+
+
 def enhance_frames(
     frames: np.ndarray,
     enhancer: Callable[[np.ndarray], np.ndarray] = identity_enhancer,

@@ -63,7 +63,11 @@ def main():
     ).hexdigest()[:16]
     out = {
         "metric": "serving_ms_per_frame_reso64",
-        "value": rec.get("ms_per_frame"),
+        # headline = steady-state chunked-render compute rate (chained
+        # in-jit timing); wall-clock incl. frame download rides alongside
+        # (over the tunneled chip the host link dominates wall)
+        "value": rec.get("ms_per_frame_compute", rec.get("ms_per_frame")),
+        "ms_per_frame_wall_incl_transfer": rec.get("ms_per_frame"),
         "unit": "ms/frame",
         "platform": jax.default_backend(),
         "device": str(jax.devices()[0]),

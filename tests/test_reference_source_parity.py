@@ -665,3 +665,64 @@ def test_extract_5p_matches_reference_source():
     want = pp.extract_5p(lm68)
     got = landmarks68_to_5(lm68)
     np.testing.assert_allclose(got, want.astype(np.float32), rtol=1e-5)
+
+
+def test_spectre_encoders_match_reference_source():
+    """SPECTRE's two encoders vs the reference's own modules
+    (lipsrc/models/encoders.py): E_flame (ResnetEncoder resnet50 +
+    1024-ReLU-236 head) and E_expression (PerceptualEncoder resnet50
+    variant: temporal Conv1d k5 + BN1d + ReLU -> Linear(256,53), jaw-x
+    ReLU) on converted random weights."""
+    import types
+
+    if "torchvision" not in sys.modules:   # resnet.py top-level import
+        sys.modules["torchvision"] = types.ModuleType("torchvision")
+    rmod = _ref_import("lipsrc.models.resnet")
+    # zero egress: bypass the torchvision-pretrained copy
+    rmod.load_ResNet50Model = lambda: rmod.ResNet(rmod.Bottleneck, [3, 4, 6, 3])
+    emod = _ref_import("lipsrc.models.encoders")
+
+    from nerf3dtalker_tpu.models.spectre import (
+        TOTAL_DIM,
+        PerceptualExpressionEncoder,
+        SpectreEncoder,
+    )
+    from nerf3dtalker_tpu.utils.convert import (
+        convert_spectre_flame_encoder,
+        convert_spectre_perceptual_encoder,
+    )
+
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 3, 224, 224)).astype(np.float32) * 0.2
+
+    # ---- E_flame ----------------------------------------------------------
+    tm = _randomize_state(emod.ResnetEncoder(outsize=TOTAL_DIM),
+                          seed=23, scale=0.05).eval()
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_spectre_flame_encoder(sd))
+    got = SpectreEncoder().apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3, atol=5e-4)
+
+    # ---- E_expression -----------------------------------------------------
+    cfg = types.SimpleNamespace(backbone="resnet50")
+    pm = _randomize_state(emod.PerceptualEncoder(50, cfg),
+                          seed=29, scale=0.05).eval()
+    with torch.no_grad():
+        want_exp, want_jaw = pm(torch.from_numpy(x))
+        want_exp, want_jaw = want_exp.numpy(), want_jaw.numpy()
+    sd = {k: v.detach().numpy() for k, v in pm.state_dict().items()}
+    variables = jax.tree.map(
+        jnp.asarray, convert_spectre_perceptual_encoder(sd)
+    )
+    got_exp, got_jaw = PerceptualExpressionEncoder().apply(
+        variables, jnp.asarray(x.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got_exp), want_exp,
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(got_jaw), want_jaw,
+                               rtol=5e-3, atol=5e-4)
+    assert float(np.min(np.asarray(got_jaw)[..., 0])) >= 0.0
