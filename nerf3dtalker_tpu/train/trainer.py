@@ -270,6 +270,11 @@ class Trainer:
             if totals else {}
         )
         avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
+        # rays/s throughput (the bench.py metric) from the epoch wall time
+        avg["rays_per_s"] = (
+            self.train_cfg.batch_size * self.nerf_cfg.n_rays
+            / max(avg["sec_per_step"], 1e-9)
+        )
         self._last_epoch_steps = n
         return avg
 
