@@ -131,7 +131,14 @@ def cmd_train(args):
     else:
         t = Trainer(cfg, tc, train, val, mesh=mesh, lpips=lpips)
     hist = t.train(args.epochs)
-    print(json.dumps(hist[-1]))
+    if hist:
+        print(json.dumps(hist[-1]))
+    else:
+        # resumed past --epochs: nothing left to train
+        print(json.dumps({
+            "epochs_done": t.start_epoch, "step": int(t.state.step),
+            "note": "checkpoint already at/beyond --epochs; nothing to do",
+        }))
 
 
 def cmd_train_vq(args):
@@ -325,7 +332,6 @@ def cmd_animate(args):
         dt = time.perf_counter() - t0
         rec["ms_per_frame"] = round(dt * 1e3 / max(T, 1), 3)
 
-        from nerf3dtalker_tpu.utils.camera import base_cam as _bc
         from nerf3dtalker_tpu.utils.timing import chained_time
 
         C = args.chunk

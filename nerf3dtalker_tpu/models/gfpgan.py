@@ -44,8 +44,11 @@ import numpy as np
 
 
 def _lrelu(x):
-    # clean-arch activations: LeakyReLU(0.2) scaled to preserve variance
-    return nn.leaky_relu(x, 0.2) * math.sqrt(2.0)
+    # clean-arch activations are PLAIN LeakyReLU(0.2) — the sqrt(2) gain
+    # of original StyleGAN2's fused_leaky_relu appears in the clean
+    # variant only as the explicit *sqrt(2) after StyleConv's modulated
+    # conv ("for conversion"), not inside the activation
+    return nn.leaky_relu(x, 0.2)
 
 
 def _interp2x(x):
@@ -56,11 +59,6 @@ def _interp2x(x):
 def _interp_half(x):
     B, H, W, C = x.shape
     return jax.image.resize(x, (B, H // 2, W // 2, C), "bilinear")
-
-
-def norm_style_code(z: jnp.ndarray) -> jnp.ndarray:
-    """NormStyleCode: z * rsqrt(mean(z^2) + 1e-8)."""
-    return z * jax.lax.rsqrt(jnp.mean(z**2, axis=-1, keepdims=True) + 1e-8)
 
 
 class ModulatedConv(nn.Module):
@@ -104,6 +102,9 @@ class ModulatedConv(nn.Module):
 
 
 class StyleConv(nn.Module):
+    """clean StyleConv ordering: modulated conv -> *sqrt(2) -> +noise ->
+    +bias -> LeakyReLU(0.2)."""
+
     out_ch: int
     demodulate: bool = True
     upsample: bool = False
@@ -112,6 +113,7 @@ class StyleConv(nn.Module):
     def __call__(self, x, style, noise: Optional[jnp.ndarray] = None):
         y = ModulatedConv(self.out_ch, 3, self.demodulate,
                           self.upsample, name="modulated_conv")(x, style)
+        y = y * math.sqrt(2.0)                    # "for conversion" scale
         nw = self.param("noise_weight", nn.initializers.zeros, ())
         if noise is None:
             noise = jnp.zeros(y.shape[:3] + (1,))
@@ -144,7 +146,7 @@ class ResBlock(nn.Module):
         h = _lrelu(nn.Conv(self.out_ch, (3, 3), name="conv2")(h))
         skip = nn.Conv(self.out_ch, (1, 1), use_bias=False,
                        name="skip")(_interp_half(x))
-        return (h + skip) / math.sqrt(2.0)
+        return h + skip
 
 
 class ResUpBlock(nn.Module):
@@ -157,7 +159,7 @@ class ResUpBlock(nn.Module):
         h = _lrelu(nn.Conv(self.out_ch, (3, 3), name="conv2")(h))
         skip = nn.Conv(self.out_ch, (1, 1), use_bias=False,
                        name="skip")(_interp2x(x))
-        return (h + skip) / math.sqrt(2.0)
+        return h + skip
 
 
 def _channels(out_size: int, channel_multiplier: int = 2,
@@ -336,24 +338,31 @@ def convert_gfpgan_clean(state_dict: Dict[str, np.ndarray],
         p[f"condition_shift_{i}_1"] = conv(f"condition_shift.{i}.2")
 
     def mod_conv(prefix):
-        # torch weight [1, out, in, k, k]; modulation Linear
-        w = sd[f"{prefix}.weight"]
+        # the modulated conv is NESTED: '{prefix}.modulated_conv.weight'
+        # [1, out, in, k, k] + '...modulated_conv.modulation.{weight,bias}'
+        w = sd[f"{prefix}.modulated_conv.weight"]
         w = w[0].transpose(2, 3, 1, 0)              # -> [k, k, in, out]
         k, cin = w.shape[0], w.shape[2]
         return {
             "weight": jnp.asarray(w * math.sqrt(cin * k * k)),
             "modulation": {
-                "kernel": jnp.asarray(sd[f"{prefix}.modulation.weight"].T),
-                "bias": jnp.asarray(sd[f"{prefix}.modulation.bias"]),
+                "kernel": jnp.asarray(
+                    sd[f"{prefix}.modulated_conv.modulation.weight"].T
+                ),
+                "bias": jnp.asarray(
+                    sd[f"{prefix}.modulated_conv.modulation.bias"]
+                ),
             },
         }
 
     def style_conv(dst, prefix):
+        # clean StyleConv stores the NOISE strength as '{prefix}.weight'
+        # (shape [1]) and the activation bias as '{prefix}.bias'
+        # ([1, out, 1, 1])
         p.setdefault("stylegan_decoder", {})[dst] = {
             "modulated_conv": mod_conv(f"stylegan_decoder.{prefix}"),
             "noise_weight": jnp.asarray(
-                sd.get(f"stylegan_decoder.{prefix}.noise_weight",
-                       sd.get(f"stylegan_decoder.{prefix}.weight_noise", 0.0))
+                sd[f"stylegan_decoder.{prefix}.weight"]
             ).reshape(()),
             "bias": jnp.asarray(
                 sd[f"stylegan_decoder.{prefix}.bias"].reshape(-1)

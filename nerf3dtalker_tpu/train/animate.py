@@ -56,11 +56,14 @@ def animate_sequence(
         )
         return jnp.clip(out["merge_img"], 0.0, 1.0)
 
-    # two-phase: dispatch EVERY chunk asynchronously first, then pull the
-    # results — a per-chunk np.asarray would round-trip the (possibly
-    # remote) host link once per chunk and serialize compute behind
-    # transfer latency
+    # pipelined dispatch: keep a bounded window of chunks in flight so
+    # compute overlaps the (possibly remote) host transfer — a per-chunk
+    # np.asarray would serialize compute behind link latency, while an
+    # unbounded window would hold every rendered frame in HBM at once
+    # (a multi-minute wav at 512^2 is GBs of frame buffers)
+    window = 8
     pending = []
+    frames = []
     for start in range(0, T, chunk):
         aud = np.zeros((chunk, audio_styles.shape[1]), np.float32)
         n = min(chunk, T - start)
@@ -70,7 +73,10 @@ def animate_sequence(
             e = expr_seq[start:start + n]
             sc[:n, cfg.iden_code_dims:cfg.iden_code_dims + e.shape[1]] = e
         pending.append((render_chunk(jnp.asarray(aud), jnp.asarray(sc)), n))
-    frames = [np.asarray(img[:n], np.float32) for img, n in pending]
+        if len(pending) > window:
+            img, m = pending.pop(0)
+            frames.append(np.asarray(img[:m], np.float32))
+    frames += [np.asarray(img[:n], np.float32) for img, n in pending]
     return np.concatenate(frames, axis=0)
 
 

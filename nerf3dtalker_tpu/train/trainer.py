@@ -41,6 +41,22 @@ class Trainer:
         self.train_cfg = train_cfg
         self.train_data = train_data
         self.val_data = val_data
+        # effective frame batch: clamp to the dataset (a 1-frame subject
+        # must still train under the B=2 default) and warn once about
+        # drop_last remainders
+        self.batch_size = max(1, min(train_cfg.batch_size, len(train_data)))
+        if self.batch_size != train_cfg.batch_size:
+            log.warning(
+                "batch_size %d > dataset size %d; training with B=%d",
+                train_cfg.batch_size, len(train_data), self.batch_size,
+            )
+        rem = len(train_data) % self.batch_size
+        if rem:
+            log.warning(
+                "dataset size %d not divisible by batch %d: %d frame(s) "
+                "dropped from each epoch (drop_last)",
+                len(train_data), self.batch_size, rem,
+            )
         if vgg_params is None and train_cfg.use_vgg_loss:
             # honor TrainConfig.use_vgg_loss: the reference applies the
             # VGG perceptual term on every training step
@@ -73,7 +89,7 @@ class Trainer:
                     )
                     ds.vgg_fingerprint = fp
             precomputed_vgg = True
-        steps_per_epoch = max(1, len(train_data) // train_cfg.batch_size)
+        steps_per_epoch = max(1, len(train_data) // self.batch_size)
         self.fns = build_step_fns(
             nerf_cfg, train_cfg, steps_per_epoch=steps_per_epoch,
             vgg_params=vgg_params, mesh=mesh,
@@ -106,7 +122,7 @@ class Trainer:
             and mesh is None
             and train_data.nbytes() <= train_cfg.device_cache_bytes
         ):
-            train_data.to_device(train_cfg.batch_size)
+            train_data.to_device(self.batch_size)
             self._use_device_cache = True
             log.info(
                 "device-resident dataset cache on (%.1f MB)",
@@ -118,7 +134,7 @@ class Trainer:
                 from nerf3dtalker_tpu.data.native import FramePrefetcher
 
                 self._prefetcher = FramePrefetcher(
-                    train_data, train_cfg.batch_size, seed=train_cfg.seed
+                    train_data, self.batch_size, seed=train_cfg.seed
                 )
                 log.info("native C++ batch prefetcher enabled")
             except (ImportError, OSError) as e:   # build failed OR bad .so
@@ -129,7 +145,7 @@ class Trainer:
 
     def init(self, seed: Optional[int] = None) -> None:
         seed = self.train_cfg.seed if seed is None else seed
-        batch = self.train_data.batch(np.arange(self.train_cfg.batch_size))
+        batch = self.train_data.batch(np.arange(self.batch_size))
         self.state = self.fns.init(jax.random.key(seed), batch)
 
     def resume(self, path: str) -> int:
@@ -191,6 +207,10 @@ class Trainer:
             return cls_(**{k: v for k, v in d.items() if k in fields})
 
         nerf_cfg = build(NeRFConfig, cfgd["nerf"])
+        # future saves and StepGuard rollbacks must target the directory
+        # the user resumed FROM, not wherever the original run saved to
+        # (checkpoints may have been moved/copied since)
+        cfg_overrides.setdefault("ckpt_dir", path)
         train_cfg = build(
             TrainConfig, {**cfgd.get("train", {}), **cfg_overrides}
         )
@@ -212,7 +232,7 @@ class Trainer:
         n = 0
         t0 = time.time()
         if self._use_device_cache:
-            bs = self.train_cfg.batch_size
+            bs = self.batch_size
             order = np.arange(len(self.train_data))
             rng.shuffle(order)
             end = len(order) - (len(order) % bs)
@@ -226,7 +246,7 @@ class Trainer:
                 for _ in range(self._prefetcher.steps_per_epoch)
             )
         else:
-            batches = self.train_data.epoch(self.train_cfg.batch_size, rng)
+            batches = self.train_data.epoch(self.batch_size, rng)
         tracing = False
         for i, batch in enumerate(batches):
             if self.mesh is not None:
@@ -272,7 +292,7 @@ class Trainer:
         avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
         # rays/s throughput (the bench.py metric) from the epoch wall time
         avg["rays_per_s"] = (
-            self.train_cfg.batch_size * self.nerf_cfg.n_rays
+            self.batch_size * self.nerf_cfg.n_rays
             / max(avg["sec_per_step"], 1e-9)
         )
         self._last_epoch_steps = n

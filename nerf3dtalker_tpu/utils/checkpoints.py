@@ -65,12 +65,16 @@ def restore_checkpoint(
 
 
 def latest_step(path: str) -> int:
-    """Newest step number saved under `path`."""
+    """Newest COMPLETE step saved under `path`.
+
+    Ignores anything that isn't `state_<int>` — in particular orbax's
+    `state_N.orbax-checkpoint-tmp-*` leftovers from an interrupted save,
+    which is exactly when resume/rollback must still work."""
     path = os.path.abspath(path)
     steps = sorted(
-        int(d.split("_")[1])
+        int(d.split("_", 1)[1])
         for d in os.listdir(path)
-        if d.startswith("state_")
+        if d.startswith("state_") and d.split("_", 1)[1].isdigit()
     )
     if not steps:
         raise FileNotFoundError(f"no checkpoints under {path}")
@@ -94,7 +98,7 @@ def has_checkpoint(path: str) -> bool:
     try:
         latest_step(path)
         return True
-    except (FileNotFoundError, OSError):
+    except (FileNotFoundError, OSError, ValueError):
         return False
 
 

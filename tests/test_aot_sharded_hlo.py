@@ -35,12 +35,24 @@ _DTYPE_BYTES = {
 }
 
 
-def _shapes_bytes(line: str):
-    """All `dtype[dims]` result shapes on an HLO op line -> byte sizes."""
+def _result_region(line: str, op: str) -> str:
+    """The result-type region of an HLO op line.
+
+    Compiled HLO text puts the result shape AFTER the '=' and BEFORE the
+    op name: `%all-gather.1 = f32[2,64]{1,0} all-gather(f32[...] %x)` —
+    so the region to parse is rhs up to the first op-name occurrence.
+    (An earlier revision parsed the lhs, which never contains a shape,
+    making the assertion vacuous.)"""
+    if "=" not in line:
+        return ""
+    rhs = line.split("=", 1)[1]
+    return rhs.split(op, 1)[0]
+
+
+def _shapes_bytes(line: str, op: str = "all-gather"):
+    """Byte sizes of every result shape of an HLO `op` line."""
     out = []
-    # result type(s) appear before the '=' (possibly a tuple)
-    lhs = line.split("=")[0]
-    for m in re.finditer(r"([a-z]+\d*)\[([\d,]*)\]", lhs):
+    for m in re.finditer(r"([a-z]+\d*)\[([\d,]*)\]", _result_region(line, op)):
         dt, dims = m.group(1), m.group(2)
         n = 1
         for d in dims.split(","):
@@ -48,6 +60,21 @@ def _shapes_bytes(line: str):
                 n *= int(d)
         out.append(n * _DTYPE_BYTES.get(dt, 4))
     return out
+
+
+def test_hlo_shape_parser_is_not_vacuous():
+    """The parser must actually see result shapes on real-format HLO op
+    lines — guards against the lhs/rhs regression that silently disabled
+    the all-gather assertions."""
+    line = ("  %all-gather.1 = f32[2,262144,384]{2,1,0} "
+            "all-gather(f32[2,65536,384]{2,1,0} %p), dimensions={1}")
+    assert _shapes_bytes(line) == [2 * 262144 * 384 * 4]
+    tup = ("  %ag = (bf16[4,4096,256]{2,1,0}, u32[]) "
+           "all-gather(bf16[4,1024,256]{2,1,0} %x)")
+    got = _shapes_bytes(tup)
+    assert 4 * 4096 * 256 * 2 in got
+    # operand shapes (inside the call) must NOT be counted
+    assert 2 * 65536 * 384 * 4 not in _shapes_bytes(line)
 
 
 @pytest.fixture(scope="module")
@@ -96,14 +123,11 @@ def test_weight_grad_psum_present(flagship_hlo):
 def test_no_ray_axis_allgather(flagship_hlo):
     offenders = []
     for line in flagship_hlo.splitlines():
-        s = line.strip()
-        if not s.startswith("%") and "=" not in s:
+        if "all-gather" not in line:
             continue
-        if "all-gather" not in s:
-            continue
-        for nbytes in _shapes_bytes(s):
+        for nbytes in _shapes_bytes(line):
             if nbytes > _MAX_ALLGATHER_BYTES:
-                offenders.append((nbytes, s[:160]))
+                offenders.append((nbytes, line.strip()[:160]))
     assert not offenders, (
         "ray-sample-sized all-gather(s) in the sharded step "
         f"(> {_MAX_ALLGATHER_BYTES} B): {offenders}"
@@ -117,7 +141,9 @@ def test_no_full_sample_tensor_materialized(flagship_hlo):
     full = cfg.n_rays * cfg.num_sample_coarse   # 262144
     pat = re.compile(r"\[[\d,]*\b" + str(full) + r"\b[\d,]*\]")
     for line in flagship_hlo.splitlines():
-        if any(c in line for c in ("all-gather", "all-reduce", "collective")):
-            assert not pat.search(line.split("=")[0]), (
-                f"full sample axis in a collective result: {line[:200]}"
-            )
+        for op in ("all-gather", "all-reduce", "collective-permute"):
+            if op in line:
+                assert not pat.search(_result_region(line, op)), (
+                    f"full sample axis in a collective result: "
+                    f"{line.strip()[:200]}"
+                )

@@ -81,19 +81,26 @@ def _synthetic_state_dict(params):
     ).transpose(0, 3, 1, 2)
 
     def put_mod(name, leaf, with_noise):
+        # published layout: modulated conv NESTED under
+        # '{name}.modulated_conv.*'; StyleConv's noise strength is
+        # '{name}.weight' [1]; activation bias '{name}.bias' [1,C,1,1]
         mc = leaf["modulated_conv"]
         w = np.asarray(mc["weight"])                      # [k, k, in, out]
         k, cin = w.shape[0], w.shape[2]
-        sd[f"{name}.weight"] = (
+        sd[f"{name}.modulated_conv.weight"] = (
             w / math.sqrt(cin * k * k)
         ).transpose(3, 2, 0, 1)[None]
-        sd[f"{name}.modulation.weight"] = np.asarray(
+        sd[f"{name}.modulated_conv.modulation.weight"] = np.asarray(
             mc["modulation"]["kernel"]
         ).T
-        sd[f"{name}.modulation.bias"] = np.asarray(mc["modulation"]["bias"])
+        sd[f"{name}.modulated_conv.modulation.bias"] = np.asarray(
+            mc["modulation"]["bias"]
+        )
         sd[f"{name}.bias"] = np.asarray(leaf["bias"]).reshape(1, 1, 1, -1)
         if with_noise:
-            sd[f"{name}.noise_weight"] = np.asarray(leaf["noise_weight"])
+            sd[f"{name}.weight"] = np.asarray(
+                leaf["noise_weight"]
+            ).reshape(1)
 
     put_mod("stylegan_decoder.style_conv1", d["style_conv1"], True)
     put_mod("stylegan_decoder.to_rgb1", d["to_rgb1"], False)

@@ -107,6 +107,10 @@ def test_frame_prefetcher_feeds_training(tmp_path):
     tc = TrainConfig(
         batch_size=2, epochs=1, lr=1e-3, bf16_compute=False,
         use_vgg_loss=False, native_prefetch=True,
+        # the device-resident cache outranks the prefetcher by default;
+        # turn it off here to exercise the host-side prefetcher path
+        # (the fallback for datasets above the HBM budget)
+        device_cache=False,
         ckpt_dir=str(tmp_path / "ckpt"),
     )
     t = Trainer(cfg, tc, ds, None)

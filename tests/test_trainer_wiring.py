@@ -186,3 +186,39 @@ def test_device_cache_matches_host_loader(tmp_path):
     assert np.isclose(h1[0]["total_loss"], h2[0]["total_loss"], rtol=1e-5)
     np.testing.assert_allclose(_leaf(t_dev.state), _leaf(t_host.state),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_latest_step_ignores_interrupted_orbax_saves(tmp_path):
+    """An interrupted orbax save leaves `state_N.orbax-checkpoint-tmp-*`
+    litter; resume/rollback must still find the last COMPLETE step."""
+    from nerf3dtalker_tpu.utils.checkpoints import has_checkpoint, latest_step
+
+    d = tmp_path / "ckpt"
+    d.mkdir()
+    (d / "state_4").mkdir()
+    (d / "state_6.orbax-checkpoint-tmp-1734".replace("/", "_")).mkdir()
+    assert latest_step(str(d)) == 4
+    assert has_checkpoint(str(d))
+    # nothing but litter -> cleanly reports no checkpoint
+    d2 = tmp_path / "only_tmp"
+    d2.mkdir()
+    (d2 / "state_2.orbax-checkpoint-tmp-9").mkdir()
+    assert not has_checkpoint(str(d2))
+
+
+def test_from_checkpoint_targets_resumed_directory(tmp_path):
+    """Resuming from a moved/copied checkpoint directory must save (and
+    rollback) THERE, not to the ckpt_dir stored in the metadata."""
+    import shutil
+
+    t = _trainer(tmp_path)
+    t.train(epochs=1)
+    moved = str(tmp_path / "moved_ckpt")
+    shutil.copytree(t.train_cfg.ckpt_dir, moved)
+
+    train = synthetic_dataset(TINY, num_frames=4, seed=0)
+    t2 = Trainer.from_checkpoint(moved, train)
+    assert t2.train_cfg.ckpt_dir == moved
+    # explicit override still wins
+    t3 = Trainer.from_checkpoint(moved, train, ckpt_dir=str(tmp_path / "x"))
+    assert t3.train_cfg.ckpt_dir == str(tmp_path / "x")
