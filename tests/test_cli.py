@@ -177,3 +177,36 @@ def test_render_loads_checkpoint_params(tmp_path, capsys):
           "--ckpt", str(ckpt), "--views", "1", "--out", str(out)])
     views = np.load(out)
     assert views.shape[0] == 1 and np.isfinite(views).all()
+
+
+def test_train_cli_resume_trace_guard(tmp_path, capsys):
+    """The round-4 train flags end-to-end through the CLI: metrics.jsonl
+    + profiler trace land under --log-dir/--trace-dir, and --resume
+    rebuilds from the checkpoint alone (graceful no-op when the stored
+    step already covers --epochs)."""
+    import json
+    import os
+
+    ckpt = str(tmp_path / "ckpt")
+    logs = str(tmp_path / "logs")
+    trace = str(tmp_path / "trace")
+    base = [
+        "train", "--featmap-size", "8", "--img-size", "32", "--epochs", "1",
+        "--no-vgg", "--batch-size", "2", "--ckpt-dir", ckpt,
+        "--log-dir", logs, "--trace-dir", trace, "--trace-steps", "1",
+        "--guard-policy", "rollback",
+    ]
+    main(base)
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "total_loss" in rec and rec["finite_step"] == 1.0
+    assert os.path.exists(os.path.join(logs, "metrics.jsonl"))
+    assert any(fs for _, _, fs in os.walk(trace))
+    # resume with the same --epochs: graceful nothing-to-do record
+    main(base + ["--resume"])
+    rec2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec2.get("note", "").startswith("checkpoint already")
+    # resume with more epochs: continues training
+    more = [a if a != "1" else "2" for a in base]
+    main(more + ["--resume"])
+    rec3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec3["epoch"] == 1
