@@ -3,11 +3,14 @@
 Equivalent of reference `s_audio2pose_models/`: `Audio2Pose`
 (audio2pose.py:7-48) wraps a frozen wav2lip audio encoder, a CVAE over
 6-dof pose-motion sequences with 46 pose-style class biases
-(cvae.py:13-131), a ResUnet pose embedder (res_unet.py), and a
-`PoseSequenceDiscriminator` (discriminator.py:59). The reference pipeline
-bypasses it at inference (`s_test_audio2coeff.py:36-54` keeps the
+(cvae.py:13-149), the 2D ResUnet pose embedder (res_unet.py:6-66 with
+networks.py ResidualConv/Upsample), and a `PoseSequenceDiscriminator`
+(discriminator.py:59-75). The reference pipeline bypasses it at
+inference (`s_test_audio2coeff.py:36-54` keeps the
 Savitzky-Golay-smoothed reference pose) — provided here for capability
-parity and training.
+parity and training. All modules are layer-faithful so converted
+reference checkpoints drop in (utils/convert.convert_audio2pose_cvae;
+source parity: tests/test_reference_source_parity.py).
 """
 
 from __future__ import annotations
@@ -19,56 +22,113 @@ import jax
 import jax.numpy as jnp
 
 
-class ResUnet1D(nn.Module):
-    """Small conv residual embedder over [B, T, 6] pose-motion sequences
-    (res_unet.py:6 ResUnet; exact internal topology simplified to the same
-    in/out contract: per-step embedding preserved, residual conv stack)."""
+class ResidualConv(nn.Module):
+    """networks.py:5-31: (BN, ReLU, Conv s, BN, ReLU, Conv 1) + skip
+    (Conv s, BN). NHWC; `stride` applies to the time axis only."""
 
-    width: int = 32
+    out_ch: int
+    stride: Tuple[int, int] = (1, 1)
 
     @nn.compact
-    def __call__(self, x):
-        y = nn.Conv(self.width, (3,), padding="SAME", name="in_conv")(x)
-        for i in range(2):
-            r = nn.relu(nn.Conv(self.width, (3,), padding="SAME", name=f"res{i}_1")(y))
-            r = nn.Conv(self.width, (3,), padding="SAME", name=f"res{i}_2")(r)
-            y = nn.relu(y + r)
-        return nn.Conv(x.shape[-1], (3,), padding="SAME", name="out_conv")(y)
+    def __call__(self, x, train: bool = False):
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       name=name)
+        y = nn.relu(bn("bn1")(x))
+        y = nn.Conv(self.out_ch, (3, 3), strides=self.stride,
+                    padding=[(1, 1), (1, 1)], name="conv1")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(self.out_ch, (3, 3), padding=[(1, 1), (1, 1)],
+                    name="conv2")(y)
+        s = nn.Conv(self.out_ch, (3, 3), strides=self.stride,
+                    padding=[(1, 1), (1, 1)], name="skip_conv")(x)
+        s = bn("skip_bn")(s)
+        return y + s
+
+
+class ResUnet2D(nn.Module):
+    """res_unet.py:6-66 ResUnet over [B, T, 6, 1] pose-motion planes
+    (torch layout [B, 1, T, 6]): 3-level stride-(2,1) residual encoder,
+    ConvTranspose-(2,1) decoder with skip concats, sigmoid 1-ch output."""
+
+    filters: Sequence[int] = (32, 64, 128, 256)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        f = self.filters
+        bn = lambda name: nn.BatchNorm(use_running_average=not train,
+                                       name=name)
+        h = nn.Conv(f[0], (3, 3), padding=[(1, 1), (1, 1)],
+                    name="in_conv1")(x)
+        h = nn.relu(bn("in_bn")(h))
+        h = nn.Conv(f[0], (3, 3), padding=[(1, 1), (1, 1)],
+                    name="in_conv2")(h)
+        x1 = h + nn.Conv(f[0], (3, 3), padding=[(1, 1), (1, 1)],
+                         name="in_skip")(x)
+        x2 = ResidualConv(f[1], (2, 1), name="res1")(x1, train)
+        x3 = ResidualConv(f[2], (2, 1), name="res2")(x2, train)
+        x4 = ResidualConv(f[3], (2, 1), name="bridge")(x3, train)
+
+        u = nn.ConvTranspose(f[3], (2, 1), strides=(2, 1),
+                             padding="VALID", name="up1")(x4)
+        x6 = ResidualConv(f[2], (1, 1), name="upres1")(
+            jnp.concatenate([u, x3], axis=-1), train
+        )
+        u = nn.ConvTranspose(f[2], (2, 1), strides=(2, 1),
+                             padding="VALID", name="up2")(x6)
+        x8 = ResidualConv(f[1], (1, 1), name="upres2")(
+            jnp.concatenate([u, x2], axis=-1), train
+        )
+        u = nn.ConvTranspose(f[1], (2, 1), strides=(2, 1),
+                             padding="VALID", name="up3")(x8)
+        x10 = ResidualConv(f[0], (1, 1), name="upres3")(
+            jnp.concatenate([u, x1], axis=-1), train
+        )
+        return nn.sigmoid(nn.Conv(1, (1, 1), name="out_conv")(x10))
 
 
 class CVAEEncoder(nn.Module):
     """(pose motion, ref pose, audio emb, class bias) -> (mu, logvar)
-    (cvae.py ENCODER :44-96)."""
+    (cvae.py ENCODER :51-97). Faithful quirk: the reference's forward
+    assigns BOTH mu and logvar from `linear_means` (cvae.py:95-96 — the
+    `linear_logvar` weights exist but are unused); `fix_logvar=True`
+    routes logvar through its own head instead."""
 
     layer_sizes: Sequence[int] = (192, 128)
     latent_size: int = 64
     num_classes: int = 46
     audio_emb_out: int = 6
     seq_len: int = 32
+    fix_logvar: bool = False
 
     @nn.compact
-    def __call__(self, pose_motion, ref, audio_emb, class_id):
+    def __call__(self, pose_motion, ref, audio_emb, class_id,
+                 train: bool = False):
         B = pose_motion.shape[0]
-        pose_emb = ResUnet1D(name="resunet")(pose_motion).reshape(B, -1)
+        pose_emb = ResUnet2D(name="resunet")(
+            pose_motion[..., None], train
+        ).reshape(B, -1)
         audio = nn.Dense(self.audio_emb_out, name="linear_audio")(audio_emb)
         audio = audio.reshape(B, -1)
         classbias = self.param(
             "classbias", nn.initializers.normal(1.0),
             (self.num_classes, self.latent_size),
         )
+        # concat order per cvae.py:92: [ref, pose_emb, audio, class_bias]
         x = jnp.concatenate(
             [ref, pose_emb, audio, classbias[class_id]], axis=-1
         )
-        for i, s in enumerate(self.layer_sizes):
+        for i, s in enumerate(self.layer_sizes[1:]):
             x = nn.relu(nn.Dense(s, name=f"L{i}")(x))
         mu = nn.Dense(self.latent_size, name="linear_means")(x)
-        logvar = nn.Dense(self.latent_size, name="linear_logvar")(x)
+        lv = nn.Dense(self.latent_size, name="linear_logvar")(x)
+        logvar = lv if self.fix_logvar else mu
         return mu, logvar
 
 
 class CVAEDecoder(nn.Module):
     """(z, ref, audio emb, class bias) -> pose motion [B, T, 6]
-    (cvae.py DECODER :98-131+)."""
+    (cvae.py DECODER :99-149): MLP (ReLU between, Sigmoid last) ->
+    [B, T, 6] -> ResUnet -> pose_linear."""
 
     layer_sizes: Sequence[int] = (128, 192)
     latent_size: int = 64
@@ -77,7 +137,7 @@ class CVAEDecoder(nn.Module):
     seq_len: int = 32
 
     @nn.compact
-    def __call__(self, z, ref, audio_emb, class_id):
+    def __call__(self, z, ref, audio_emb, class_id, train: bool = False):
         B = z.shape[0]
         audio = nn.Dense(self.audio_emb_out, name="linear_audio")(audio_emb)
         audio = audio.reshape(B, -1)
@@ -85,31 +145,36 @@ class CVAEDecoder(nn.Module):
             "classbias", nn.initializers.normal(1.0),
             (self.num_classes, self.latent_size),
         )
-        x = jnp.concatenate([z + classbias[class_id], ref, audio], axis=-1)
+        # concat order per cvae.py:139: [ref, z + class_bias, audio]
+        x = jnp.concatenate([ref, z + classbias[class_id], audio], axis=-1)
+        n = len(self.layer_sizes)
         for i, s in enumerate(self.layer_sizes):
             x = nn.Dense(s, name=f"L{i}")(x)
-            x = nn.relu(x) if i + 1 < len(self.layer_sizes) else nn.sigmoid(x)
+            x = nn.relu(x) if i + 1 < n else nn.sigmoid(x)
         x = x.reshape(B, self.seq_len, -1)
-        x = ResUnet1D(name="resunet")(x)
+        x = ResUnet2D(name="resunet")(x[..., None], train)[..., 0]
         return nn.Dense(6, name="pose_linear")(x)
 
 
 class Audio2PoseCVAE(nn.Module):
     """Full CVAE: encode GT motion -> reparameterize -> decode
-    (cvae.py:31-43); `generate` samples z ~ N(0, I) at test time."""
+    (cvae.py:13-48); `generate` decodes a supplied/sampled z at test
+    time (cvae.py test())."""
 
     latent_size: int = 64
     num_classes: int = 46
     seq_len: int = 32
+    encoder_sizes: Sequence[int] = (192, 128)
+    decoder_sizes: Sequence[int] = (128, 192)
+    fix_logvar: bool = False
 
     def setup(self):
-        ls = self.latent_size
-        sizes_enc = (192, 128)
         self.encoder = CVAEEncoder(
-            sizes_enc, ls, self.num_classes, seq_len=self.seq_len, name="encoder"
+            self.encoder_sizes, self.latent_size, self.num_classes,
+            seq_len=self.seq_len, fix_logvar=self.fix_logvar, name="encoder",
         )
         self.decoder = CVAEDecoder(
-            tuple(reversed(sizes_enc)), ls, self.num_classes,
+            self.decoder_sizes, self.latent_size, self.num_classes,
             seq_len=self.seq_len, name="decoder",
         )
 
@@ -124,6 +189,10 @@ class Audio2PoseCVAE(nn.Module):
         z = jax.random.normal(rng, (ref.shape[0], self.latent_size))
         return self.decoder(z, ref, audio_emb, class_id)
 
+    def decode(self, z, ref, audio_emb, class_id):
+        """cvae.py test(): decode a caller-supplied z."""
+        return self.decoder(z, ref, audio_emb, class_id)
+
 
 def cvae_loss(pred, gt, mu, logvar, kl_weight: float = 1.0):
     """Reconstruction + KL (the standard CVAE objective of the trainer)."""
@@ -132,18 +201,39 @@ def cvae_loss(pred, gt, mu, logvar, kl_weight: float = 1.0):
     return rec + kl_weight * kl, {"rec": rec, "kl": kl}
 
 
-class PoseSequenceDiscriminator(nn.Module):
-    """Temporal conv discriminator over pose sequences
-    (discriminator.py:59): stacked Conv1d + LeakyReLU -> scalar logit."""
+class ConvNormRelu1D(nn.Module):
+    """discriminator.py:5-57 ConvNormRelu, conv_type='1d', norm='BN':
+    Conv1d(no bias) -> BN -> (Leaky)ReLU; downsample = k4 s2 p1."""
+
+    out_ch: int
+    downsample: bool = False
+    leaky: bool = True
 
     @nn.compact
-    def __call__(self, seq):
+    def __call__(self, x, train: bool = False):
+        k, s, p = (4, 2, 1) if self.downsample else (3, 1, 1)
+        x = nn.Conv(self.out_ch, (k,), strides=(s,), padding=[(p, p)],
+                    use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, name="norm")(x)
+        return nn.leaky_relu(x, 0.2) if self.leaky else nn.relu(x)
+
+
+class PoseSequenceDiscriminator(nn.Module):
+    """discriminator.py:59-75: 6-ch pose sequence -> per-timestep logits
+    (256 down, 512 down, 1024 k3, 1-ch head)."""
+
+    leaky: bool = True
+
+    @nn.compact
+    def __call__(self, seq, train: bool = False):
         x = seq  # [B, T, 6]
-        for i, c in enumerate((64, 128, 256)):
-            x = nn.Conv(c, (3,), strides=(2,), padding="SAME", name=f"conv{i}")(x)
-            x = nn.leaky_relu(x, 0.2)
-        x = x.reshape(x.shape[0], -1)
-        return nn.Dense(1, name="out")(x)
+        x = ConvNormRelu1D(256, downsample=True, leaky=self.leaky,
+                           name="seq0")(x, train)
+        x = ConvNormRelu1D(512, downsample=True, leaky=self.leaky,
+                           name="seq1")(x, train)
+        x = ConvNormRelu1D(1024, leaky=self.leaky, name="seq2")(x, train)
+        x = nn.Conv(1, (3,), padding=[(1, 1)], name="out")(x)
+        return x[..., 0]                           # [B, T//4]
 
 
 def savgol_smooth_pose(poses, window: int = 13, order: int = 2):

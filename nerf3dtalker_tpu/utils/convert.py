@@ -614,3 +614,100 @@ def convert_spectre_perceptual_encoder(sd: Dict) -> Dict:
         "params": params,
         "batch_stats": {"backbone": bs, "temporal_bn": tbn_s},
     }
+
+
+def _convtranspose2d(sd, base, flip: bool = True):
+    """torch ConvTranspose2d weight [in, out, kh, kw] -> flax
+    ConvTranspose kernel [kh, kw, in, out]. torch's transposed conv is
+    the gradient of a correlation (kernel spatially flipped relative to
+    flax's unflipped fractionally-strided conv), hence the flip."""
+    w = np.asarray(sd[f"{base}.weight"])
+    w = w.transpose(2, 3, 0, 1)
+    if flip:
+        w = w[::-1, ::-1]
+    return {"kernel": w.astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.bias"]).astype(np.float32)}
+
+
+def _conv_bias(sd, base):
+    w = np.asarray(sd[f"{base}.weight"])
+    return {"kernel": w.transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": np.asarray(sd[f"{base}.bias"]).astype(np.float32)}
+
+
+def _resunet2d(sd: Dict, prefix: str) -> Tuple[Dict, Dict]:
+    """s_audio2pose_models/res_unet.py ResUnet state_dict -> (params,
+    batch_stats) for models.audio2pose.ResUnet2D."""
+    p: Dict = {}
+    s: Dict = {}
+    p["in_conv1"] = _conv_bias(sd, f"{prefix}.input_layer.0")
+    p["in_bn"], s["in_bn"] = _bn2(sd, f"{prefix}.input_layer.1")
+    p["in_conv2"] = _conv_bias(sd, f"{prefix}.input_layer.3")
+    p["in_skip"] = _conv_bias(sd, f"{prefix}.input_skip.0")
+    blocks = {
+        "res1": "residual_conv_1", "res2": "residual_conv_2",
+        "bridge": "bridge", "upres1": "up_residual_conv1",
+        "upres2": "up_residual_conv2", "upres3": "up_residual_conv3",
+    }
+    for dst, src in blocks.items():
+        bp: Dict = {}
+        bs: Dict = {}
+        bp["bn1"], bs["bn1"] = _bn2(sd, f"{prefix}.{src}.conv_block.0")
+        bp["conv1"] = _conv_bias(sd, f"{prefix}.{src}.conv_block.2")
+        bp["bn2"], bs["bn2"] = _bn2(sd, f"{prefix}.{src}.conv_block.3")
+        bp["conv2"] = _conv_bias(sd, f"{prefix}.{src}.conv_block.5")
+        bp["skip_conv"] = _conv_bias(sd, f"{prefix}.{src}.conv_skip.0")
+        bp["skip_bn"], bs["skip_bn"] = _bn2(sd, f"{prefix}.{src}.conv_skip.1")
+        p[dst], s[dst] = bp, bs
+    for i in (1, 2, 3):
+        p[f"up{i}"] = _convtranspose2d(sd, f"{prefix}.upsample_{i}.upsample")
+    p["out_conv"] = _conv_bias(sd, f"{prefix}.output_layer.0")
+    return p, s
+
+
+def convert_audio2pose_cvae(sd: Dict) -> Dict:
+    """SadTalker Audio2Pose CVAE state_dict (s_audio2pose_models/cvae.py
+    ENCODER+DECODER incl. the 2D ResUnet pose embedders) ->
+    models.audio2pose.Audio2PoseCVAE variables."""
+    params: Dict = {}
+    stats: Dict = {}
+    for side in ("encoder", "decoder"):
+        p: Dict = {}
+        s: Dict = {}
+        p["resunet"], s["resunet"] = _resunet2d(sd, f"{side}.resunet")
+        i = 0
+        while f"{side}.MLP.L{i}.weight" in sd:
+            p[f"L{i}"] = _dense(sd, f"{side}.MLP.L{i}")
+            i += 1
+        p["linear_audio"] = _dense(sd, f"{side}.linear_audio")
+        p["classbias"] = np.asarray(sd[f"{side}.classbias"]).astype(np.float32)
+        if side == "encoder":
+            p["linear_means"] = _dense(sd, f"{side}.linear_means")
+            p["linear_logvar"] = _dense(sd, f"{side}.linear_logvar")
+        else:
+            p["pose_linear"] = _dense(sd, f"{side}.pose_linear")
+        params[side], stats[side] = p, s
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_pose_discriminator(sd: Dict) -> Dict:
+    """s_audio2pose_models/discriminator.py PoseSequenceDiscriminator
+    state_dict -> models.audio2pose.PoseSequenceDiscriminator variables.
+    Conv1d weight [out, in, k] -> flax [k, in, out]."""
+
+    def conv1d(base, bias):
+        w = np.asarray(sd[f"{base}.weight"]).transpose(2, 1, 0)
+        out = {"kernel": w.astype(np.float32)}
+        if bias:
+            out["bias"] = np.asarray(sd[f"{base}.bias"]).astype(np.float32)
+        return out
+
+    params: Dict = {}
+    stats: Dict = {}
+    for i in range(3):
+        bnp, bns = _bn2(sd, f"seq.{i}.norm")
+        params[f"seq{i}"] = {"conv": conv1d(f"seq.{i}.conv", bias=False),
+                             "norm": bnp}
+        stats[f"seq{i}"] = {"norm": bns}
+    params["out"] = conv1d("seq.3", bias=True)
+    return {"params": params, "batch_stats": stats}

@@ -113,11 +113,12 @@ def test_lipreader_loss_gradient():
 def test_audio2pose_cvae_loss_descends():
     import optax
 
-    m = Audio2PoseCVAE(seq_len=4)
+    # seq_len 8 = the faithful 2D ResUnet's minimum (3 stride-2 levels)
+    m = Audio2PoseCVAE(seq_len=8, decoder_sizes=(128, 48))
     rng = np.random.default_rng(0)
-    pm = jnp.asarray(rng.standard_normal((2, 4, 6)).astype(np.float32) * 0.1)
+    pm = jnp.asarray(rng.standard_normal((2, 8, 6)).astype(np.float32) * 0.1)
     ref = jnp.zeros((2, 6))
-    ae = jnp.asarray(rng.standard_normal((2, 4, 512)).astype(np.float32) * 0.1)
+    ae = jnp.asarray(rng.standard_normal((2, 8, 512)).astype(np.float32) * 0.1)
     cid = jnp.asarray([0, 1])
     p = m.init(jax.random.key(0), pm, ref, ae, cid, jax.random.key(1))
     opt = optax.adam(1e-3)
@@ -138,7 +139,8 @@ def test_audio2pose_cvae_loss_descends():
 
     d = PoseSequenceDiscriminator()
     pd = d.init(jax.random.key(0), pm)
-    assert d.apply(pd, pm).shape == (2, 1)
+    # per-timestep logits, T//4 (discriminator.py:66-73 two downsamples)
+    assert d.apply(pd, pm).shape == (2, 2)
 
 
 def test_spectre_perceptual_expression_branch():

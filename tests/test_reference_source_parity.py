@@ -726,3 +726,97 @@ def test_spectre_encoders_match_reference_source():
     np.testing.assert_allclose(np.asarray(got_jaw), want_jaw,
                                rtol=5e-3, atol=5e-4)
     assert float(np.min(np.asarray(got_jaw)[..., 0])) >= 0.0
+
+
+def test_audio2pose_cvae_matches_reference_source():
+    """Audio2Pose CVAE vs the reference's own modules
+    (s_audio2pose_models/cvae.py ENCODER/DECODER with the 2D ResUnet pose
+    embedder, res_unet.py + networks.py) on converted random weights —
+    including the reference's logvar-from-linear_means quirk
+    (cvae.py:95-96). Also the PoseSequenceDiscriminator
+    (discriminator.py:59-75)."""
+    import types
+
+    cmod = _ref_import("s_audio2pose_models.cvae")
+    dmod = _ref_import("s_audio2pose_models.discriminator")
+
+    from nerf3dtalker_tpu.models.audio2pose import (
+        Audio2PoseCVAE,
+        PoseSequenceDiscriminator,
+    )
+    from nerf3dtalker_tpu.utils.convert import (
+        convert_audio2pose_cvae,
+        convert_pose_discriminator,
+    )
+
+    def ns(**kw):
+        return types.SimpleNamespace(**kw)
+
+    cfg = ns(
+        MODEL=ns(
+            CVAE=ns(
+                ENCODER_LAYER_SIZES=[192, 128],
+                DECODER_LAYER_SIZES=[128, 192],
+                LATENT_SIZE=64, AUDIO_EMB_IN_SIZE=512,
+                AUDIO_EMB_OUT_SIZE=6, SEQ_LEN=32,
+            ),
+            DISCRIMINATOR=ns(LEAKY_RELU=True, INPUT_CHANNELS=6),
+        ),
+        DATASET=ns(NUM_CLASSES=46),
+    )
+    tm = _randomize_state(cmod.CVAE(cfg), seed=31, scale=0.05).eval()
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_audio2pose_cvae(sd))
+
+    rng = np.random.default_rng(13)
+    B, T = 2, 32
+    pose = rng.standard_normal((B, T, 6)).astype(np.float32) * 0.3
+    ref = rng.standard_normal((B, 6)).astype(np.float32) * 0.3
+    audio = rng.standard_normal((B, T, 512)).astype(np.float32) * 0.3
+    cls = np.array([3, 41])
+    z = rng.standard_normal((B, 64)).astype(np.float32) * 0.5
+
+    batch = {
+        "pose_motion_gt": torch.from_numpy(pose),
+        "ref": torch.from_numpy(ref),
+        "audio_emb": torch.from_numpy(audio),
+        "class": torch.from_numpy(cls),
+        "z": torch.from_numpy(z),
+    }
+    with torch.no_grad():
+        enc = tm.encoder({**batch})
+        want_mu, want_logvar = enc["mu"].numpy(), enc["logvar"].numpy()
+        dec = tm.decoder({**batch})
+        want_pose = dec["pose_motion_pred"].numpy()
+
+    m = Audio2PoseCVAE()
+    got_mu, got_logvar = m.apply(
+        variables, jnp.asarray(pose), jnp.asarray(ref), jnp.asarray(audio),
+        jnp.asarray(cls), method=lambda mdl, *a: mdl.encoder(*a),
+    )
+    np.testing.assert_allclose(np.asarray(got_mu), want_mu,
+                               rtol=5e-3, atol=5e-4)
+    # the reference quirk: logvar IS mu (cvae.py:95-96)
+    np.testing.assert_allclose(np.asarray(got_logvar), want_logvar,
+                               rtol=5e-3, atol=5e-4)
+    np.testing.assert_allclose(want_logvar, want_mu)
+
+    got_pose = m.apply(
+        variables, jnp.asarray(z), jnp.asarray(ref), jnp.asarray(audio),
+        jnp.asarray(cls), method=Audio2PoseCVAE.decode,
+    )
+    np.testing.assert_allclose(np.asarray(got_pose), want_pose,
+                               rtol=5e-3, atol=5e-4)
+
+    # ---- discriminator ----------------------------------------------------
+    td = _randomize_state(
+        dmod.PoseSequenceDiscriminator(cfg), seed=37, scale=0.05
+    ).eval()
+    sdd = {k: v.detach().numpy() for k, v in td.state_dict().items()}
+    dvars = jax.tree.map(jnp.asarray, convert_pose_discriminator(sdd))
+    seq = rng.standard_normal((B, T, 6)).astype(np.float32) * 0.3
+    with torch.no_grad():
+        want_d = td(torch.from_numpy(seq[:, :, None, :])).numpy()
+    got_d = PoseSequenceDiscriminator().apply(dvars, jnp.asarray(seq))
+    np.testing.assert_allclose(np.asarray(got_d), want_d,
+                               rtol=5e-3, atol=5e-4)
