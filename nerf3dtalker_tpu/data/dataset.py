@@ -28,6 +28,15 @@ REQUIRED_KEYS = (
     "iden", "expr", "text", "illu", "Rmat", "Tvec", "inv_inmat",
 )
 
+# (train-batch key, dataset array key) — shared by the host batch(), the
+# device-cache gather, and the native prefetcher's packing
+BATCH_FIELDS = (
+    ("gt_rgb", "images"), ("head_mask", "head_mask"), ("mels", "mels"),
+    ("audio_exp", "audio_exp"), ("iden", "iden"), ("expr", "expr"),
+    ("text", "text"), ("illu", "illu"), ("Rmat", "Rmat"),
+    ("Tvec", "Tvec"), ("inv_inmat", "inv_inmat"),
+)
+
 
 class FrameDataset:
     """In-memory per-frame dataset with train/val split and batching."""
@@ -133,17 +142,8 @@ class FrameDataset:
         i = jnp.asarray(np.asarray(idx, np.int32))
         d = self._dev
         b = {
-            "gt_rgb": jnp.take(d["images"], i, 0),
-            "head_mask": jnp.take(d["head_mask"], i, 0),
-            "mels": jnp.take(d["mels"], i, 0),
-            "audio_exp": jnp.take(d["audio_exp"], i, 0),
-            "iden": jnp.take(d["iden"], i, 0),
-            "expr": jnp.take(d["expr"], i, 0),
-            "text": jnp.take(d["text"], i, 0),
-            "illu": jnp.take(d["illu"], i, 0),
-            "Rmat": jnp.take(d["Rmat"], i, 0),
-            "Tvec": jnp.take(d["Tvec"], i, 0),
-            "inv_inmat": jnp.take(d["inv_inmat"], i, 0),
+            out: jnp.take(d[src], i, 0)
+            for out, src in BATCH_FIELDS if src in d
         }
         for j in range(4):
             k = f"vgg_f{j}"
