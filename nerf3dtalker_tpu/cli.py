@@ -121,10 +121,33 @@ def cmd_train(args):
             t = Trainer(cfg, tc, train, val, mesh=mesh, lpips=lpips)
         else:
             # self-describing checkpoint: model+optimizer rebuilt from the
-            # embedded config (CLI flags other than --epochs are ignored)
+            # embedded config; training flags the user EXPLICITLY set on
+            # this invocation (≠ parser default) are forwarded as
+            # overrides rather than silently dropped
+            overrides = {"epochs": args.epochs}
+            dest_to_field = {
+                "batch_size": "batch_size", "lr": "lr",
+                "vgg_weights": "vgg_weights", "seed": "seed",
+                "native_prefetch": "native_prefetch",
+                "log_dir": "log_dir", "tensorboard": "use_tensorboard",
+                "trace_dir": "trace_dir", "trace_steps": "trace_steps",
+                "guard_policy": "guard_policy",
+            }
+            parser = getattr(args, "_parser", None)
+            if parser is not None:
+                for a in parser._actions:
+                    d = a.dest
+                    if d in dest_to_field and getattr(args, d) != a.default:
+                        overrides[dest_to_field[d]] = getattr(args, d)
+                    if d == "no_vgg" and args.no_vgg:
+                        overrides["use_vgg_loss"] = False
+                forwarded = sorted(k for k in overrides if k != "epochs")
+                if forwarded:
+                    print(f"--resume: forwarding explicitly-set flags "
+                          f"over the checkpoint config: {forwarded}")
             t = Trainer.from_checkpoint(
                 args.ckpt_dir, train, val, mesh=mesh, lpips=lpips,
-                epochs=args.epochs,
+                **overrides,
             )
             print(f"resumed from step {int(t.state.step)} "
                   f"(epoch {t.start_epoch})")
@@ -358,6 +381,28 @@ def cmd_animate(args):
             iters=8,
         )
         rec["ms_per_frame_compute"] = round(dtc * 1e3 / C, 3)
+    if getattr(args, "enhancer", "none") != "none":
+        # the reference's post-render enhancer pass
+        # (s_utils/face_enhancer.py:26-123, --enhancer gfpgan)
+        from nerf3dtalker_tpu.utils.video import (
+            enhance_frames, gfpgan_enhancer, unsharp_enhancer,
+        )
+
+        if args.enhancer == "gfpgan":
+            if not args.enhancer_weights:
+                raise SystemExit(
+                    "--enhancer gfpgan needs --enhancer-weights "
+                    "(converted via models.gfpgan.convert_gfpgan_clean)"
+                )
+            from nerf3dtalker_tpu.utils.checkpoints import load_pytree_npz
+
+            frames = enhance_frames(
+                frames,
+                gfpgan_enhancer(load_pytree_npz(args.enhancer_weights)),
+            )
+        else:
+            frames = enhance_frames(frames, unsharp_enhancer)
+        rec["enhancer"] = args.enhancer
     out = args.out or "talking_head.mp4"
     if out.endswith(".npy"):
         np.save(out, frames)
@@ -691,7 +736,7 @@ def main(argv=None):
     pt.add_argument("--lpips-weights", type=str, default="",
                     help="LPIPS-alex .npz (utils.metrics.save_lpips_alex) "
                          "to report LPIPS in validation")
-    pt.set_defaults(fn=cmd_train)
+    pt.set_defaults(fn=cmd_train, _parser=pt)
 
     pv = sub.add_parser("train-vq")
     _add_common(pv)
@@ -757,6 +802,14 @@ def main(argv=None):
     pa.add_argument("--bench-serving", action="store_true",
                     help="report warm steady-state ms/frame (renders the "
                          "sequence a second time after compile)")
+    pa.add_argument("--enhancer", default="none",
+                    choices=["none", "unsharp", "gfpgan"],
+                    help="post-render face enhancer (the reference's "
+                         "--enhancer gfpgan slot, s_utils/face_enhancer.py)")
+    pa.add_argument("--enhancer-weights", default="",
+                    help="converted GFPGAN-v1-clean weights (.npz via "
+                         "models.gfpgan.convert_gfpgan_clean); required "
+                         "for --enhancer gfpgan")
     pa.add_argument("--out", help=".mp4 (ffmpeg) or .npy")
     pa.set_defaults(fn=cmd_animate)
 

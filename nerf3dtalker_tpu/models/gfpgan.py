@@ -194,13 +194,26 @@ class StyleGAN2CleanDecoder(nn.Module):
         const = self.param(
             "constant_input", nn.initializers.normal(1.0), (1, 4, 4, ch[4])
         )
+        # stored per-layer noise buffers (`noises.noise_{i}`, NHWC here):
+        # real GFPGAN inference runs randomize_noise=False, i.e. the SAME
+        # stored noise scaled by each layer's learned noise_weight. Fresh
+        # inits are zeros (identical to no noise); converted checkpoints
+        # carry the released buffers.
+        def stored_noise(i, res):
+            return self.param(f"noise_{i}", nn.initializers.zeros,
+                              (1, res, res, 1))
+
         x = jnp.tile(const, (B, 1, 1, 1))
-        x = StyleConv(ch[4], name="style_conv1")(x, latents[:, 0])
+        x = StyleConv(ch[4], name="style_conv1")(
+            x, latents[:, 0], noise=stored_noise(0, 4)
+        )
         skip = ToRGB(name="to_rgb1")(x, latents[:, 1])
         li = 1
         for i, res in enumerate(2**r for r in range(3, log_size + 1)):
             x = StyleConv(ch[res], upsample=True,
-                          name=f"style_convs_{2*i}")(x, latents[:, li])
+                          name=f"style_convs_{2*i}")(
+                x, latents[:, li], noise=stored_noise(2 * i + 1, res)
+            )
             # SFT: modulate the second half of the channels with this
             # resolution's (scale, shift) condition pair
             scale, shift = conditions[2 * i], conditions[2 * i + 1]
@@ -208,7 +221,9 @@ class StyleGAN2CleanDecoder(nn.Module):
             same, sft = x[..., :half], x[..., half:]
             x = jnp.concatenate([same, sft * scale + shift], axis=-1)
             x = StyleConv(ch[res],
-                          name=f"style_convs_{2*i+1}")(x, latents[:, li + 1])
+                          name=f"style_convs_{2*i+1}")(
+                x, latents[:, li + 1], noise=stored_noise(2 * i + 2, res)
+            )
             skip = ToRGB(name=f"to_rgbs_{i}")(x, latents[:, li + 2], skip)
             li += 2
         return skip
@@ -378,6 +393,14 @@ def convert_gfpgan_clean(state_dict: Dict[str, np.ndarray],
     p.setdefault("stylegan_decoder", {})["constant_input"] = jnp.asarray(
         sd["stylegan_decoder.constant_input.weight"].transpose(0, 2, 3, 1)
     )
+    # stored noise buffers (randomize_noise=False inference): torch
+    # [1, 1, r, r] -> NHWC [1, r, r, 1]
+    for i in range(2 * (log_size - 2) + 1):
+        key = f"stylegan_decoder.noises.noise_{i}"
+        if key in sd:
+            p["stylegan_decoder"][f"noise_{i}"] = jnp.asarray(
+                sd[key].transpose(0, 2, 3, 1)
+            )
     style_conv("style_conv1", "style_conv1")
     to_rgb("to_rgb1", "to_rgb1")
     for i in range(2 * (log_size - 2)):

@@ -36,11 +36,16 @@ class Trainer:
         vgg_params=None,
         mesh=None,
         lpips: Optional[tuple] = None,   # (alexnet params, lin weights)
+        train_eval_data: Optional[FrameDataset] = None,
     ):
         self.nerf_cfg = nerf_cfg
         self.train_cfg = train_cfg
         self.train_data = train_data
         self.val_data = val_data
+        # optional train-split eval set: per-validation TRAIN_PSNR/SSIM
+        # rows alongside the val metrics (the reference logs train-side
+        # image metrics the same way, talker_trainer.py:1087-1150)
+        self.train_eval_data = train_eval_data
         # effective frame batch: clamp to the dataset (a 1-frame subject
         # must still train under the B=2 default) and warn once about
         # drop_last remainders
@@ -80,7 +85,7 @@ class Trainer:
             # computed with — stale caches from other weights are recomputed
             leaf = jax.tree_util.tree_leaves(vgg_params)[0]
             fp = (float(jnp.sum(jnp.abs(leaf))), bg, str(vgg_cdt))
-            for ds in (train_data, val_data):
+            for ds in (train_data, val_data, train_eval_data):
                 if ds is None:
                     continue
                 if getattr(ds, "vgg_fingerprint", None) != fp:
@@ -237,6 +242,8 @@ class Trainer:
         val_data: Optional[FrameDataset] = None,
         mesh=None,
         lpips: Optional[tuple] = None,
+        reuse_from: Optional["Trainer"] = None,
+        train_eval_data: Optional[FrameDataset] = None,
         **cfg_overrides,
     ) -> "Trainer":
         """Rebuild a Trainer (model + optimizer + state) from a checkpoint
@@ -244,7 +251,15 @@ class Trainer:
         restores `para` from the checkpoint the same way, train.py:18-22).
 
         ``cfg_overrides`` are applied on top of the stored TrainConfig
-        (e.g. ``epochs=60`` to extend a run)."""
+        (e.g. ``epochs=60`` to extend a run).
+
+        ``reuse_from``: an earlier Trainer in the SAME process whose
+        compiled step/epoch programs should be adopted when the model
+        config matches. Without it, a same-process resume re-traces the
+        jitted step and whole-epoch scan and pays a fresh XLA compile —
+        the persistent compile cache does not cover the axon
+        remote-compile tunnel, so at short run lengths that recompile
+        (~5 min at Reso64) doubles wall time (TRAIN_r04 epochs 0/10)."""
         import dataclasses
 
         meta = ckpt.load_meta(path)
@@ -268,7 +283,33 @@ class Trainer:
             TrainConfig, {**cfgd.get("train", {}), **cfg_overrides}
         )
         t = cls(nerf_cfg, train_cfg, train_data, val_data, mesh=mesh,
-                lpips=lpips)
+                lpips=lpips, train_eval_data=train_eval_data)
+        if reuse_from is not None:
+            compiled_fields = (
+                "batch_size", "lr", "lr_audio", "step_lr_every",
+                "step_lr_gamma", "use_vgg_loss", "vgg_weights",
+                "vgg_precompute_gt", "bf16_compute",
+            )
+            same_model = (
+                reuse_from.nerf_cfg == nerf_cfg
+                and reuse_from.batch_size == t.batch_size
+                and reuse_from._steps_per_epoch == t._steps_per_epoch
+                and reuse_from._precomputed_vgg == t._precomputed_vgg
+                and reuse_from.mesh is t.mesh
+                and all(
+                    getattr(reuse_from.train_cfg, f) == getattr(train_cfg, f)
+                    for f in compiled_fields
+                )
+            )
+            if same_model:
+                t.fns = reuse_from.fns
+                t._cached_step_fn = reuse_from._cached_step_fn
+                log.info("from_checkpoint: reusing compiled programs")
+            else:
+                log.warning(
+                    "from_checkpoint: reuse_from config mismatch; "
+                    "recompiling"
+                )
         t.init()
         t.resume(path)
         return t
@@ -327,7 +368,12 @@ class Trainer:
             batches = self.train_data.epoch(self.batch_size, rng)
         tracing = False
         for i, batch in enumerate(batches):
-            seed = (self.train_cfg.seed + epoch) * 100003 + i
+            # same 32-bit wrap as the device-cache epoch program's
+            # seed_base (uint32 arithmetic there) so both input paths
+            # derive identical per-step keys for any seed
+            seed = np.uint32(
+                ((self.train_cfg.seed + epoch) * 100003 + i) & 0xFFFFFFFF
+            )
             if self.mesh is not None:
                 from nerf3dtalker_tpu.parallel.mesh import shard_batch
 
@@ -377,7 +423,17 @@ class Trainer:
         return avg
 
     def validate(self, dump_dir: Optional[str] = None, epoch: int = 0) -> Dict[str, float]:
-        if self.val_data is None:
+        out = self._eval_split(self.val_data, dump_dir=dump_dir, epoch=epoch)
+        if self.train_eval_data is not None:
+            tr = self._eval_split(self.train_eval_data)
+            out.update({f"TRAIN_{k}": v for k, v in tr.items()})
+        return out
+
+    def _eval_split(
+        self, data: Optional[FrameDataset],
+        dump_dir: Optional[str] = None, epoch: int = 0,
+    ) -> Dict[str, float]:
+        if data is None:
             return {}
         # under a mesh the eval step's batch shardings need B divisible by
         # the data axis — validate in data-axis-sized batches there
@@ -386,7 +442,7 @@ class Trainer:
             bs = int(self.mesh.shape.get("data", 1))
         ssims, psnrs, lpipss = [], [], []
         n_seen = 0
-        for batch in self.val_data.epoch(
+        for batch in data.epoch(
             bs, rng=None, drop_last=(bs > 1)
         ):
             ebatch = batch
@@ -424,7 +480,7 @@ class Trainer:
                     )
                 n_seen += 1
         if bs > 1:
-            skipped = len(self.val_data) - n_seen
+            skipped = len(data) - n_seen
             if skipped:
                 log.warning(
                     "validate: %d val frame(s) skipped (val set not "

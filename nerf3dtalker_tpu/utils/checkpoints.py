@@ -126,6 +126,36 @@ def soft_load(target: Any, source: Any) -> Any:
     return treedef.unflatten([pick(p, l) for p, l in flat])
 
 
+def save_pytree_npz(path: str, tree: Any) -> None:
+    """Flatten a nested-dict param tree to a single .npz ('/'-joined
+    keys) — the interchange format for converted external weights
+    (GFPGAN, enhancers) that don't warrant a full orbax directory."""
+    flat = {}
+
+    def walk(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(f"{prefix}/{k}" if prefix else str(k), v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk("", tree)
+    np.savez(path, **flat)
+
+
+def load_pytree_npz(path: str) -> Any:
+    """Inverse of :func:`save_pytree_npz`."""
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = jax.numpy.asarray(z[key])
+    return out
+
+
 def widen_input_channels(kernel: np.ndarray, new_in: int) -> np.ndarray:
     """Zero-pad a dense kernel's input dim — the reference's gaze-dim weight
     surgery (`_load_model_parameter`, talker_trainer.py:736-747) which widens

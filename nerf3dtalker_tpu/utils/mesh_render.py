@@ -88,7 +88,10 @@ def render_mesh_sequence(
         v = v.at[..., 2].add(camera_distance)
         n = vertex_normals(v, faces_j)
         if shading == "headlight":
-            attrs = shade_headlight(n) * (base / 0.3)  # tint by mesh color
+            # tint rides the ambient+diffuse term inside shade_headlight;
+            # the metallic specular lobe stays untinted (pyrender's
+            # baseColor override does not recolor the highlight)
+            attrs = shade_headlight(n, base_color=tuple(np.asarray(color)))
         else:
             shade = jnp.clip(-n[..., 2:3], 0.2, 1.0)
             attrs = base * shade

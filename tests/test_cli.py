@@ -55,6 +55,48 @@ def test_animate_end_to_end(tmp_path):
     assert frames.min() >= 0.0 and frames.max() <= 1.0
 
 
+def test_animate_enhancer_flag(tmp_path):
+    """--enhancer gfpgan/unsharp wiring (the reference's face_enhancer
+    slot, s_utils/face_enhancer.py:26): frames pass through the restorer
+    selected on the CLI."""
+    import jax
+    import jax.numpy as jnp
+
+    from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+    from nerf3dtalker_tpu.models.gfpgan import GFPGANClean
+    from nerf3dtalker_tpu.utils.checkpoints import (
+        load_pytree_npz, save_pytree_npz,
+    )
+
+    wav = synthesize_placeholder("enhance", path=str(tmp_path / "a.wav"))
+    m = GFPGANClean(out_size=32)
+    gp = m.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    wpath = tmp_path / "gfpgan.npz"
+    save_pytree_npz(str(wpath), gp)
+    # round trip preserves the tree
+    rt = load_pytree_npz(str(wpath))
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: np.allclose(np.asarray(a), np.asarray(b)), gp, rt
+    ))
+
+    plain, enhanced = tmp_path / "p.npy", tmp_path / "e.npy"
+    base = [
+        "animate", "--wav", wav, "--featmap-size", "8", "--img-size", "32",
+        "--max-frames", "3", "--chunk", "1",
+    ]
+    main(base + ["--out", str(plain)])
+    main(base + ["--enhancer", "gfpgan", "--enhancer-weights", str(wpath),
+                 "--out", str(enhanced)])
+    a, b = np.load(plain), np.load(enhanced)
+    assert a.shape == b.shape == (3, 32, 32, 3)
+    assert not np.allclose(a, b)          # the restorer actually ran
+    assert b.min() >= 0.0 and b.max() <= 1.0
+    # unsharp built-in needs no weights
+    main(base + ["--enhancer", "unsharp", "--out", str(enhanced)])
+    c = np.load(enhanced)
+    assert c.shape == a.shape and not np.allclose(a, c)
+
+
 def test_fit_smoke(tmp_path):
     """Single-image fitting driver (FittingSingleImage_new.py:620-903)."""
     out = tmp_path / "fitted.npz"

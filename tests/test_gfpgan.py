@@ -108,6 +108,10 @@ def _synthetic_state_dict(params):
         put_mod(f"stylegan_decoder.style_convs.{i}", d[f"style_convs_{i}"], True)
     for i in range(log_size - 2):
         put_mod(f"stylegan_decoder.to_rgbs.{i}", d[f"to_rgbs_{i}"], False)
+    for i in range(2 * (log_size - 2) + 1):
+        sd[f"stylegan_decoder.noises.noise_{i}"] = np.asarray(
+            d[f"noise_{i}"]
+        ).transpose(0, 3, 1, 2)
     return sd
 
 
@@ -147,3 +151,32 @@ def test_gfpgan_enhancer_slot():
     )
     out = enhance_frames(frames, gfpgan_enhancer(p, model=m))
     assert out.shape == frames.shape and np.isfinite(out).all()
+
+
+def test_stored_noise_buffers_are_effective():
+    """randomize_noise=False semantics: converted `noises.noise_{i}`
+    buffers, scaled by a nonzero learned noise strength, must change the
+    restorer output (the r4 structural gap — zero noise always)."""
+    m, p = _model_and_params()
+    sd = _synthetic_state_dict(p)
+    rng = np.random.default_rng(3)
+    log_size = int(math.log2(OUT))
+    for i in range(2 * (log_size - 2) + 1):
+        r = 4 * 2 ** ((i + 1) // 2)
+        sd[f"stylegan_decoder.noises.noise_{i}"] = rng.standard_normal(
+            (1, 1, r, r)
+        ).astype(np.float32)
+        # give the noise a path into the activations
+        name = ("stylegan_decoder.style_conv1" if i == 0
+                else f"stylegan_decoder.style_convs.{i-1}")
+        sd[f"{name}.weight"] = np.ones(1, np.float32) * 0.1
+    conv = convert_gfpgan_clean(sd, out_size=OUT)
+    sd0 = dict(sd)
+    for i in range(2 * (log_size - 2) + 1):
+        sd0[f"stylegan_decoder.noises.noise_{i}"] = np.zeros_like(
+            sd0[f"stylegan_decoder.noises.noise_{i}"]
+        )
+    conv0 = convert_gfpgan_clean(sd0, out_size=OUT)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, OUT, OUT, 3)).astype(np.float32))
+    a, b = m.apply(conv, x), m.apply(conv0, x)
+    assert float(jnp.max(jnp.abs(a - b))) > 1e-4
