@@ -87,6 +87,9 @@ def main():
             if n_el * 4 > 64 * 1024 * 1024:
                 bad.append(line.strip()[:120])
     assert not bad, f"ray-sample-sized all-gather: {bad}"
+
+    coll = collective_bytes(hlo)
+    pred = predict_two_host_efficiency(coll, n_devices=16)
     print(json.dumps({
         "metric": "two_host_topology_aot",
         "platform": "cpu_virtual",
@@ -98,9 +101,100 @@ def main():
         "weight_grad_allreduce_count": n_ar,
         "largest_allgather_bytes": biggest_ag,
         "ray_axis_allgather": False,
+        "collective_bytes": coll,
+        "predicted_2host": pred,
         "note": "compile-only structural evidence; no 16-device hardware "
                 "in-image to execute on",
     }))
+
+
+_DTYPE_BYTES = {
+    "f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
+    "s16": 2, "u16": 2, "s8": 1, "u8": 1, "pred": 1, "s64": 8, "u64": 8,
+}
+
+
+def collective_bytes(hlo: str):
+    """Sum the result bytes of every cross-device collective in a compiled
+    HLO, keyed by op kind. The result shape of `%x = f32[...] all-reduce(...)`
+    is what the wire carries (up to the ring factor applied later)."""
+    out = {"all-reduce": 0, "all-gather": 0, "reduce-scatter": 0,
+           "collective-permute": 0, "all-to-all": 0}
+    counts = {k: 0 for k in out}
+    kinds = re.compile(
+        r"\s(all-reduce|all-gather|reduce-scatter|collective-permute|"
+        r"all-to-all)(?:-start)?\(",
+    )
+    shape = re.compile(r"([a-z]+\d*)\[([\d,]*)\]")
+    for line in hlo.splitlines():
+        if "=" not in line:
+            continue
+        m = kinds.search(line.split("=", 1)[1])
+        if not m:
+            continue
+        kind = m.group(1)
+        # result region = everything between '=' and the op name; tuple
+        # results (one fused all-reduce over many grad tensors) carry
+        # several dtype[dims] entries — sum them all
+        region = line.split("=", 1)[1][: m.start()]
+        total = 0
+        for dt, dims in shape.findall(region):
+            n_el = 1
+            for d in dims.split(","):
+                if d:
+                    n_el *= int(d)
+            total += n_el * _DTYPE_BYTES.get(dt, 4)
+        out[kind] += total
+        counts[kind] += 1
+    return {
+        "bytes": {k: v for k, v in out.items() if v},
+        "counts": {k: v for k, v in counts.items() if v},
+        "total_bytes": sum(out.values()),
+    }
+
+
+def predict_two_host_efficiency(
+    coll, n_devices: int = 16, step_ms_1dev: float = 51.3,
+    ici_gbps: float = 90.0, dcn_gbps: float = 25.0,
+):
+    """Bandwidth-model bound on 2-host weak-scaling efficiency
+    (VERDICT r4 #5; BASELINE.md >=85% target).
+
+    Model: per-device batch held constant (weak scaling), so per-step
+    compute stays at the measured single-chip step time; collectives add
+    comm time. A ring all-reduce of R bytes over a group of g devices
+    moves 2(g-1)/g*R per device; all-gather/reduce-scatter (g-1)/g*R.
+    We charge EVERY collective the full 16-device ring factor and assume
+    ZERO compute/comm overlap — both pessimistic (XLA overlaps the
+    weight-grad psum with the backward). Two bandwidth scenarios:
+      * ici: both hosts in one pod slice, inter-host links are ICI
+        (TPU v4-class, ~90 GB/s per-chip aggregate one-way)
+      * dcn: hosts joined only by data-center network (~25 GB/s/host) —
+        the worst case, not the intended deployment.
+    """
+    g = n_devices
+    ring = lambda r: 2.0 * (g - 1) / g * r
+    half = lambda r: (g - 1) / g * r
+    b = coll["bytes"]
+    wire = (
+        ring(b.get("all-reduce", 0))
+        + half(b.get("all-gather", 0) + b.get("reduce-scatter", 0))
+        + b.get("collective-permute", 0) + b.get("all-to-all", 0)
+    )
+    out = {"wire_bytes_per_device": int(wire),
+           "step_ms_1dev": step_ms_1dev,
+           "assumptions": "zero overlap, full 16-ring factor on every "
+                          "collective, per-device batch fixed"}
+    for name, gbps in (("ici", ici_gbps), ("dcn", dcn_gbps)):
+        comm_ms = wire / (gbps * 1e9) * 1e3
+        eff = step_ms_1dev / (step_ms_1dev + comm_ms)
+        out[name] = {
+            "bandwidth_GBps": gbps,
+            "comm_ms": round(comm_ms, 3),
+            "predicted_efficiency": round(eff, 4),
+            "meets_85pct_target": bool(eff >= 0.85),
+        }
+    return out
 
 
 if __name__ == "__main__":
