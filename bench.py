@@ -115,6 +115,20 @@ def _model_tflop(cfg, B, inp, target, head_mask, vgg_params, gt_feats):
         return None
 
 
+def _measured_ratio():
+    """The committed record from scripts/bench_vs_reference_cpu.py --save
+    (same-host torch reference vs this framework's XLA path), or None."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "MEASURED_RATIO.json")
+    try:
+        with open(path) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -192,6 +206,10 @@ def main():
             "ESTIMATE-derived: A100 torch reference ~40k rays/s "
             "(BASELINE.md; no A100 in-image). Same-host measured "
             "comparison: scripts/bench_vs_reference_cpu.py",
+        # measured same-host torch-vs-XLA ratio (VERDICT r4 #6): produced
+        # by `scripts/bench_vs_reference_cpu.py --save MEASURED_RATIO.json`
+        # and embedded here so the grounding number rides the artifact
+        "vs_reference_measured_same_host": _measured_ratio(),
         "ms_per_step": head["ms_per_step"],
         "model_tflop": head.get("model_tflop"),
         "mfu_vs_v5e_bf16_197tflops": head.get("mfu"),

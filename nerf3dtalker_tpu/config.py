@@ -201,6 +201,10 @@ class TrainConfig:
     #   "abort"    raise after `guard_max_bad` cumulative bad steps
     guard_policy: str = "warn"
     guard_max_bad: int = 10
+    # validate every k-th epoch (and always the last); per-epoch SSIM on
+    # 512^2 frames is host work + a tunnel round trip, so long runs
+    # thin it out
+    val_every: int = 1
 
 
 @dataclasses.dataclass(frozen=True)

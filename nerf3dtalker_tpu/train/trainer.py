@@ -542,7 +542,14 @@ class Trainer:
                     if mlog is not None:
                         mlog.log(int(self.state.step), rec)
                     continue   # don't validate/checkpoint the bad epoch
-                val_metrics = self.validate(dump_dir=dump_dir, epoch=epoch)
+                do_val = (
+                    (epoch + 1) % max(self.train_cfg.val_every, 1) == 0
+                    or epoch == epochs - 1
+                )
+                val_metrics = (
+                    self.validate(dump_dir=dump_dir, epoch=epoch)
+                    if do_val else {}
+                )
                 rec = {"epoch": epoch, **train_metrics, **val_metrics}
                 self.history.append(rec)
                 log.info("epoch %d: %s", epoch, rec)

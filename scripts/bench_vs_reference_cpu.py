@@ -29,6 +29,9 @@ def main():
     ap.add_argument("--featmap", type=int, default=64)
     ap.add_argument("--img", type=int, default=0, help="0 = 8x featmap")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--save", default="",
+                    help="also write the record to this JSON path "
+                         "(MEASURED_RATIO.json for bench.py to embed)")
     args = ap.parse_args()
     img = args.img or args.featmap * 8
 
@@ -130,14 +133,19 @@ def main():
     jax_dt = (time.perf_counter() - t0) / args.iters
 
     n_rays = args.featmap * args.featmap
-    print(json.dumps({
+    rec = {
         "metric": f"cpu_same_host_fwdbwd_reso{args.featmap}",
         "torch_reference_s_per_step": round(torch_dt, 3),
         "jax_xla_s_per_step": round(jax_dt, 3),
         "torch_rays_per_s": round(n_rays / torch_dt, 1),
         "jax_rays_per_s": round(n_rays / jax_dt, 1),
         "speedup_same_hardware": round(torch_dt / jax_dt, 2),
-    }))
+    }
+    print(json.dumps(rec))
+    if args.save:
+        # bench.py embeds this next to the estimate-derived vs_baseline
+        with open(args.save, "w") as f:
+            json.dump(rec, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,300 @@
+"""One-command full-pipeline artifact (VERDICT r4 next-round #3).
+
+The reference README's recipe (/root/reference/README.md:33-95) as a
+single reproducible run on ONE subject, every stage timed and metered:
+
+  1. subject   — a coherent synthetic talking head (frames) + synthesized
+                 speech audio (the in-repo TTS stand-in)
+  2. preprocess— STRICT full-network path (BiSeNet parse -> FAN landmarks
+                 -> two-stage 3DMM fit -> netG audio-exp -> per-frame
+                 mels), data/preprocess.py
+  3. train     — shipped Trainer on the preprocessed arrays
+  4. render    — re-render every training frame with the trained NeRF
+  5. refine    — Standardized-Space stage-1 VQ on (render, GT) pairs;
+                 gen+ frames must beat the raw renders (test_vq.py:52-150)
+  6. animate   — wav -> Audio2Style(trained) -> HeadNeRF -> enhancer slot
+                 -> video + per-frame checksums
+
+Scale is configurable; the default is a reduced-size chain so the WHOLE
+pipeline (including the iterative 3DMM fit) completes in minutes — the
+quality story at flagship scale is TRAIN_r05's job, this artifact proves
+the chain.
+
+    python scripts/pipeline_run.py --out PIPELINE_r05.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="PIPELINE_r05.json")
+    ap.add_argument("--frames", type=int, default=12)
+    ap.add_argument("--subject-size", type=int, default=128,
+                    help="input frame size fed to preprocessing")
+    ap.add_argument("--featmap-size", type=int, default=16)
+    ap.add_argument("--img-size", type=int, default=128,
+                    help="NeRF render size (and VQ stage size)")
+    ap.add_argument("--epochs", type=int, default=40)
+    ap.add_argument("--vq-steps", type=int, default=300)
+    ap.add_argument("--enhancer", default="unsharp",
+                    choices=["none", "unsharp"])
+    ap.add_argument("--workdir", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force CPU (leave the tunnel chip alone)")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    wd = args.workdir or tempfile.mkdtemp(prefix="pipeline_r05_")
+    stages = []
+    t_all = time.time()
+
+    def stage(name, fn):
+        t0 = time.time()
+        out = fn()
+        rec = {"stage": name, "wall_s": round(time.time() - t0, 2)}
+        if out:
+            rec.update(out)
+        stages.append(rec)
+        print(json.dumps(rec), flush=True)
+        return out
+
+    # ---- 1. subject ------------------------------------------------------
+    from nerf3dtalker_tpu.config import NeRFConfig, TrainConfig, VQConfig
+    from nerf3dtalker_tpu.data.dataset import (
+        FrameDataset, REQUIRED_KEYS, coherent_subject, talking_signals,
+    )
+    from nerf3dtalker_tpu.data.tts import synthesize_placeholder
+
+    S, P, F, T = (args.subject_size, args.img_size, args.featmap_size,
+                  args.frames)
+    sub_cfg = NeRFConfig(featmap_size=F, pred_img_size=S)
+
+    def make_subject():
+        ds = coherent_subject(sub_cfg, num_frames=T)
+        wav_path = synthesize_placeholder(
+            "the quick brown fox jumps over the lazy dog",
+            path=os.path.join(wd, "speech.wav"),
+        )
+        import wave
+
+        with wave.open(wav_path) as w:
+            pcm = np.frombuffer(
+                w.readframes(w.getnframes()), np.int16
+            ).astype(np.float32) / 32768.0
+        need = 16000 // 25 * (T + 1)
+        if len(pcm) < need:
+            pcm = np.tile(pcm, need // max(len(pcm), 1) + 1)
+        return {"images": ds.arrays["images"], "wav": pcm[:need],
+                "wav_path": wav_path,
+                "gt_mask": ds.arrays["head_mask"]}
+
+    subj = {}
+    stage("subject", lambda: subj.update(make_subject()) or {
+        "frames": T, "size": S, "wav_s": round(len(subj["wav"]) / 16000, 2),
+    })
+
+    # ---- 2. strict full-network preprocess -------------------------------
+    from nerf3dtalker_tpu.data.preprocess import (
+        build_appliers, preprocess_subject,
+    )
+
+    pre = {}
+
+    def run_preprocess():
+        appliers = build_appliers(S, seed=0, fit_iters=(10, 25))
+        arrays = preprocess_subject(
+            subj["images"], subj["wav"], featmap_size=F, strict=True,
+            **appliers,
+        )
+        pre.update(arrays)
+        return {
+            "strict": True,
+            "audio_exp_nonzero": bool(np.abs(arrays["audio_exp"]).sum() > 0),
+            "mask_mean": round(float(arrays["head_mask"].mean()), 4),
+            "fit_tvec_z": round(float(arrays["Tvec"][0, 2]), 3),
+        }
+
+    stage("preprocess", run_preprocess)
+
+    # ---- 3. train on the preprocessed arrays -----------------------------
+    from nerf3dtalker_tpu.train.trainer import Trainer
+    from nerf3dtalker_tpu.utils.camera import ray_grid
+
+    cfg = NeRFConfig(featmap_size=F, pred_img_size=P)
+    xy, _ = ray_grid(F)
+    arrays = dict(pre)
+    arrays["images"] = np.asarray(jax.image.resize(
+        arrays["images"], (T, P, P, 3), "linear"))
+    arrays["head_mask"] = np.asarray(jax.image.resize(
+        arrays["head_mask"], (T, P, P, 1), "nearest"))
+    ds = FrameDataset({k: arrays[k] for k in REQUIRED_KEYS}, xy)
+    tc = TrainConfig(
+        batch_size=2, epochs=args.epochs, lr=5e-4,
+        ckpt_dir=os.path.join(wd, "ckpt"), log_dir=os.path.join(wd, "logs"),
+        use_vgg_loss=True, vgg_precompute_gt=True, val_every=10,
+    )
+    trainer = Trainer(cfg, tc, ds, None)
+
+    def run_train():
+        trainer.init()
+        hist = trainer.train(epochs=args.epochs)
+        return {
+            "epochs": len(hist),
+            "loss_first": round(hist[0]["total_loss"], 4),
+            "loss_last": round(hist[-1]["total_loss"], 4),
+            "loss_descended": bool(
+                hist[-1]["total_loss"] < hist[0]["total_loss"]
+            ),
+            "sec_per_step_median": round(sorted(
+                h["sec_per_step"] for h in hist
+            )[len(hist) // 2], 4),
+        }
+
+    stage("train", run_train)
+
+    # ---- 4. render every frame with the trained NeRF ---------------------
+    from nerf3dtalker_tpu.utils.metrics import psnr, ssim_rgb
+
+    renders = np.empty((T, P, P, 3), np.float32)
+
+    def run_render():
+        for s in range(0, T - (T % 2), 2):
+            batch = ds.batch(np.arange(s, s + 2))
+            imgs, _ = trainer.fns.eval_step(trainer.state.params, batch)
+            renders[s : s + 2] = np.asarray(imgs)
+        if T % 2:
+            batch = ds.batch(np.array([T - 2, T - 1]))
+            imgs, _ = trainer.fns.eval_step(trainer.state.params, batch)
+            renders[T - 1] = np.asarray(imgs)[1]
+        ps = [float(psnr(renders[i], arrays["images"][i])) for i in range(T)]
+        ss = [float(ssim_rgb(renders[i], arrays["images"][i]))
+              for i in range(T)]
+        return {"PSNR": round(float(np.mean(ps)), 3),
+                "SSIM": round(float(np.mean(ss)), 4)}
+
+    render_rec = stage("render", run_render)
+
+    # ---- 5. Standardized-Space stage-1 refinement ------------------------
+    from nerf3dtalker_tpu.train.vq_trainer import build_vq_step
+
+    def run_refine():
+        vq_cfg = VQConfig(img_size=P)
+        a, b = talking_signals(T)
+        cs = min(112, P)
+        cy, cx = int(0.70 * P), P // 2
+        y0 = max(0, min(P - cs, cy - cs // 2))
+        x0 = max(0, min(P - cs, cx - cs // 2))
+        crop = renders[:, y0 : y0 + cs, x0 : x0 + cs, :]
+        if cs != 112:
+            crop = np.asarray(jax.image.resize(crop, (T, 112, 112, 3),
+                                               "linear"))
+        data = {
+            "gen_img": renders,
+            "gt_img": arrays["images"],
+            "mask": (arrays["head_mask"] >= 0.5).astype(np.float32),
+            "crops": np.tile(crop[:, None], (1, 5, 1, 1, 1)),
+            "au_labels": np.stack([
+                (b > 0), (b < -0.3), (a > 0.5), (a > 0.33), (a > 0.66),
+            ], 1).astype(np.float32),
+        }
+        init, train_step, _ = build_vq_step(vq_cfg, lr=1e-4)
+        dev = {k: jnp.asarray(v) for k, v in data.items()}
+        b0 = {k: v[:2] for k, v in dev.items()}
+        st = init(jax.random.key(0), b0)
+        rng = np.random.default_rng(0)
+        for i in range(args.vq_steps):
+            idx = jnp.asarray(rng.choice(T, 2, replace=False))
+            st, m = train_step(st, {k: jnp.take(v, idx, 0)
+                                    for k, v in dev.items()})
+        from nerf3dtalker_tpu.train.vq_eval import reconstruct_split
+
+        metrics = reconstruct_split(
+            vq_cfg, st.vq_params, st.au_params,
+            {"gen_img": data["gen_img"], "mask": data["mask"],
+             "crops": data["crops"], "gt_img": data["gt_img"]},
+            out_dir=os.path.join(wd, "gen_plus"),
+        )
+        gen_mse = float(np.mean((renders - arrays["images"]) ** 2))
+        gen_psnr = 10 * np.log10(1.0 / max(gen_mse, 1e-10))
+        return {
+            "steps": args.vq_steps,
+            "gen_psnr": round(gen_psnr, 3),
+            "genplus_psnr": round(metrics["rec_psnr"], 3),
+            "refined_beats_raw": bool(metrics["rec_psnr"] > gen_psnr),
+            "genplus_dir": os.path.join(wd, "gen_plus"),
+        }
+
+    stage("refine", run_refine)
+
+    # ---- 6. animate + enhancer + video -----------------------------------
+    from nerf3dtalker_tpu.cli import main as cli_main
+
+    def run_animate():
+        out_mp4 = os.path.join(wd, "talking_head.mp4")
+        argv = [
+            "animate", "--wav", subj["wav_path"],
+            "--featmap-size", str(F), "--img-size", str(P),
+            "--ckpt", os.path.join(wd, "ckpt"),
+            "--max-frames", str(T), "--chunk", "2",
+            "--out", out_mp4,
+        ]
+        if args.enhancer != "none":
+            argv += ["--enhancer", args.enhancer]
+        try:
+            cli_main(argv)
+            video = out_mp4
+        except FileNotFoundError:            # no ffmpeg: fall back to npy
+            video = os.path.join(wd, "talking_head.npy")
+            cli_main(argv[:-1] + [video])
+        h = hashlib.sha256()
+        if video.endswith(".npy"):
+            frames = np.load(video)
+            for f in frames:
+                h.update(np.ascontiguousarray(f).tobytes())
+        else:
+            with open(video, "rb") as fh:
+                h.update(fh.read())
+        return {"video": video, "enhancer": args.enhancer,
+                "sha256": h.hexdigest()[:16],
+                "bytes": os.path.getsize(video)}
+
+    stage("animate", run_animate)
+
+    out = {
+        "metric": "full_pipeline_r05",
+        "platform": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "recipe": "reference README.md:33-95 as one run: subject -> "
+                  "strict preprocess -> train -> render -> VQ refine -> "
+                  "animate(+enhancer) -> video",
+        "scale": {"frames": T, "subject_size": S, "featmap_size": F,
+                  "render_size": P},
+        "total_wall_s": round(time.time() - t_all, 1),
+        "stages": stages,
+        "workdir": wd,
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
