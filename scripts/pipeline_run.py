@@ -48,7 +48,7 @@ def main():
     ap.add_argument("--img-size", type=int, default=128,
                     help="NeRF render size (and VQ stage size)")
     ap.add_argument("--epochs", type=int, default=40)
-    ap.add_argument("--vq-steps", type=int, default=300)
+    ap.add_argument("--vq-steps", type=int, default=800)
     ap.add_argument("--enhancer", default="unsharp",
                     choices=["none", "unsharp"])
     ap.add_argument("--workdir", default="")
@@ -248,33 +248,40 @@ def main():
     from nerf3dtalker_tpu.cli import main as cli_main
 
     def run_animate():
-        out_mp4 = os.path.join(wd, "talking_head.mp4")
+        import shutil
+
+        # deterministic frame artifact first (checksummable), then mux to
+        # mp4 when ffmpeg is present (write_video falls back to a frames
+        # directory otherwise)
+        out_npy = os.path.join(wd, "talking_head.npy")
         argv = [
             "animate", "--wav", subj["wav_path"],
             "--featmap-size", str(F), "--img-size", str(P),
             "--ckpt", os.path.join(wd, "ckpt"),
             "--max-frames", str(T), "--chunk", "2",
-            "--out", out_mp4,
+            "--out", out_npy,
         ]
         if args.enhancer != "none":
             argv += ["--enhancer", args.enhancer]
-        try:
-            cli_main(argv)
-            video = out_mp4
-        except FileNotFoundError:            # no ffmpeg: fall back to npy
-            video = os.path.join(wd, "talking_head.npy")
-            cli_main(argv[:-1] + [video])
+        cli_main(argv)
+        frames = np.load(out_npy)
         h = hashlib.sha256()
-        if video.endswith(".npy"):
-            frames = np.load(video)
-            for f in frames:
-                h.update(np.ascontiguousarray(f).tobytes())
+        for f in frames:
+            h.update(np.ascontiguousarray(f).tobytes())
+        rec = {"video": out_npy, "enhancer": args.enhancer,
+               "frames": int(len(frames)),
+               "frames_sha256": h.hexdigest()[:16],
+               "bytes": os.path.getsize(out_npy)}
+        if shutil.which("ffmpeg"):
+            from nerf3dtalker_tpu.utils.video import write_video
+
+            mp4 = os.path.join(wd, "talking_head.mp4")
+            write_video(frames, mp4, fps=25, audio_path=subj["wav_path"])
+            rec["mp4"] = mp4
+            rec["mp4_bytes"] = os.path.getsize(mp4)
         else:
-            with open(video, "rb") as fh:
-                h.update(fh.read())
-        return {"video": video, "enhancer": args.enhancer,
-                "sha256": h.hexdigest()[:16],
-                "bytes": os.path.getsize(video)}
+            rec["mp4"] = "skipped (no ffmpeg in-image)"
+        return rec
 
     stage("animate", run_animate)
 
