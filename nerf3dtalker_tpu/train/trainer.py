@@ -148,17 +148,24 @@ class Trainer:
                 log.warning("native prefetcher unavailable (%s); "
                             "falling back to the Python loader", e)
 
-    def _cached_epoch(self, n_steps: int):
-        """The WHOLE epoch as one compiled program: lax.scan over steps,
-        each iteration gathering its batch from the HBM-resident cache,
-        deriving its rng key, and applying the train step; per-epoch
-        losses accumulate in the scan. Per-step overheads (program
-        launch, dispatch, host round trips) disappear entirely — the
-        host touches the device once per epoch. Measured: a per-step
-        jitted call still pays ~15 ms/step of program-invocation
-        overhead on the tunneled chip; the epoch program runs at
-        bench.py's in-scan step time."""
-        fn = self._cached_step_fn.get(n_steps) if self._cached_step_fn else None
+    def _cached_epoch(self, n_steps: int, n_epochs: int = 1):
+        """`n_epochs` WHOLE epochs as one compiled program: an outer
+        lax.scan over epochs, an inner scan over steps, each iteration
+        gathering its batch from the HBM-resident cache, deriving its rng
+        key, and applying the train step; per-epoch losses accumulate in
+        the scans. Per-step overheads (program launch, dispatch, host
+        round trips) disappear entirely — the host touches the device
+        once per GROUP of epochs.
+
+        Measured (2026-08-21, tunneled v5e): the step CONTENT above the
+        grad computation is ~1.2 ms (Audio2Style fused-BiLSTM fwd+bwd
+        0.16 ms + two-group Adam 0.85 ms + guard 0.16 ms,
+        scripts/profile_tail.py); the 12-25 ms/step "tail" r4 observed
+        was the ~200 ms per-program host round trip over the tunnel
+        divided by steps-per-epoch. Grouping epochs divides it by
+        steps-per-group instead."""
+        key = (n_steps, n_epochs)
+        fn = self._cached_step_fn.get(key) if self._cached_step_fn else None
         if fn is None:
             import jax.numpy as jnp
 
@@ -168,35 +175,45 @@ class Trainer:
             with_vgg = self._precomputed_vgg
             bs = self.batch_size
 
-            def epoch_fn(state, cache, xy_b, order, seed_base):
-                def body(st, i):
-                    idx = jax.lax.dynamic_slice(order, (i * bs,), (bs,))
-                    b = {
-                        out: jnp.take(cache[src], idx, 0)
-                        for out, src in BATCH_FIELDS if src in cache
-                    }
-                    if with_vgg:
-                        for j in range(4):
-                            b[f"vgg_f{j}"] = jnp.take(
-                                cache[f"vgg_f{j}"], idx, 0
-                            )
-                    b["xy"] = xy_b
-                    st, losses = inner(
-                        st, b, jax.random.key(seed_base + i.astype(jnp.uint32))
-                    )
-                    return st, losses
-                state, losses_seq = jax.lax.scan(
-                    body, state, jnp.arange(n_steps)
-                )
-                totals = jax.tree.map(
-                    lambda x: jnp.sum(x, axis=0), losses_seq
-                )
-                return state, totals
+            def epoch_group_fn(state, cache, xy_b, orders, seed_bases):
+                # orders [E, n_steps*bs] int32; seed_bases [E] uint32
+                def one_epoch(st, ep):
+                    order, seed_base = ep
 
-            fn = jax.jit(epoch_fn)
+                    def body(st, i):
+                        idx = jax.lax.dynamic_slice(order, (i * bs,), (bs,))
+                        b = {
+                            out: jnp.take(cache[src], idx, 0)
+                            for out, src in BATCH_FIELDS if src in cache
+                        }
+                        if with_vgg:
+                            for j in range(4):
+                                b[f"vgg_f{j}"] = jnp.take(
+                                    cache[f"vgg_f{j}"], idx, 0
+                                )
+                        b["xy"] = xy_b
+                        st, losses = inner(
+                            st, b,
+                            jax.random.key(seed_base + i.astype(jnp.uint32)),
+                        )
+                        return st, losses
+
+                    st, losses_seq = jax.lax.scan(
+                        body, st, jnp.arange(n_steps)
+                    )
+                    return st, jax.tree.map(
+                        lambda x: jnp.sum(x, axis=0), losses_seq
+                    )
+
+                state, totals = jax.lax.scan(
+                    one_epoch, state, (orders, seed_bases)
+                )
+                return state, totals   # each total leaf: [E]
+
+            fn = jax.jit(epoch_group_fn)
             if self._cached_step_fn is None:
                 self._cached_step_fn = {}
-            self._cached_step_fn[n_steps] = fn
+            self._cached_step_fn[key] = fn
         return fn
 
     # ------------------------------------------------------------- lifecycle
@@ -316,6 +333,45 @@ class Trainer:
 
     # ------------------------------------------------------------- training
 
+    def train_epoch_group(self, start_epoch: int, n_epochs: int) -> list:
+        """Run `n_epochs` consecutive epochs as ONE device program
+        (device-cache path only) — one host round trip per group. Returns
+        one averaged-metrics dict per epoch. Epoch semantics (shuffle
+        order, per-step rng keys) are IDENTICAL to per-epoch calls."""
+        import jax.numpy as jnp
+
+        assert self._use_device_cache, "device cache required"
+        bs = self.batch_size
+        n = len(self.train_data) // bs
+        t0 = time.time()
+        orders, seeds = [], []
+        for e in range(start_epoch, start_epoch + n_epochs):
+            rng = np.random.default_rng(self.train_cfg.seed + e)
+            order = np.arange(len(self.train_data))
+            rng.shuffle(order)
+            orders.append(order[: n * bs].astype(np.int32))
+            seeds.append(np.uint32(
+                ((self.train_cfg.seed + e) * 100003) & 0xFFFFFFFF
+            ))
+        self.state, totals = self._cached_epoch(n, n_epochs)(
+            self.state, self.train_data._dev, self.train_data._dev_xy,
+            jnp.asarray(np.stack(orders)), jnp.asarray(np.stack(seeds)),
+        )
+        jax.block_until_ready(totals)
+        sec_per_step = (time.time() - t0) / max(n * n_epochs, 1)
+        out = []
+        for i in range(n_epochs):
+            avg = {
+                k: float(v[i]) / max(n, 1) for k, v in totals.items()
+            }
+            avg["sec_per_step"] = sec_per_step
+            avg["rays_per_s"] = (
+                bs * self.nerf_cfg.n_rays / max(sec_per_step, 1e-9)
+            )
+            out.append(avg)
+        self._last_epoch_steps = n
+        return out
+
     def train_one_epoch(self, epoch: int) -> Dict[str, float]:
         rng = np.random.default_rng(self.train_cfg.seed + epoch)
         # losses accumulate ON DEVICE and materialize once per epoch:
@@ -326,30 +382,7 @@ class Trainer:
         n = 0
         t0 = time.time()
         if self._use_device_cache and not self._trace_pending:
-            # whole-epoch device program (see _cached_epoch); the
-            # per-step loop below is kept for the trace-capture epoch,
-            # which needs host-visible step boundaries
-            import jax.numpy as jnp
-
-            bs = self.batch_size
-            order = np.arange(len(self.train_data))
-            rng.shuffle(order)
-            n = len(order) // bs
-            self.state, totals = self._cached_epoch(n)(
-                self.state, self.train_data._dev, self.train_data._dev_xy,
-                jnp.asarray(order[: n * bs].astype(np.int32)),
-                jnp.asarray(np.uint32(
-                    ((self.train_cfg.seed + epoch) * 100003) & 0xFFFFFFFF
-                )),
-            )
-            jax.block_until_ready(totals)
-            avg = {k: float(v) / max(n, 1) for k, v in totals.items()}
-            avg["sec_per_step"] = (time.time() - t0) / max(n, 1)
-            avg["rays_per_s"] = (
-                bs * self.nerf_cfg.n_rays / max(avg["sec_per_step"], 1e-9)
-            )
-            self._last_epoch_steps = n
-            return avg
+            return self.train_epoch_group(epoch, 1)[0]
         if self._use_device_cache:
             bs = self.batch_size
             order = np.arange(len(self.train_data))
@@ -512,51 +545,79 @@ class Trainer:
                 self.train_cfg.log_dir,
                 use_tensorboard=self.train_cfg.use_tensorboard,
             )
+        ve = max(self.train_cfg.val_every, 1)
         try:
-            for epoch in range(self.start_epoch, epochs):
-                train_metrics = self.train_one_epoch(epoch)
-                # StepGuard consumes the jitted step's finite_step counter
-                # once per epoch (no per-step host sync) and may roll the
-                # state back to the last good checkpoint
-                n = self._last_epoch_steps
-                n_bad = int(round(n * (1.0 - train_metrics.get("finite_step", 1.0))))
-                action = self.guard.epoch_check(n_bad, n, epoch)
-                if action == "rollback":
-                    if self.train_cfg.ckpt_dir and ckpt.has_checkpoint(
-                        self.train_cfg.ckpt_dir
-                    ):
-                        step = self.resume(self.train_cfg.ckpt_dir)
-                        log.warning(
-                            "StepGuard: rolled back to checkpoint step %d "
-                            "after %d non-finite step(s) in epoch %d",
-                            step, n_bad, epoch,
-                        )
-                    else:
-                        log.warning(
-                            "StepGuard: rollback requested but no checkpoint "
-                            "exists yet; continuing with guarded params"
-                        )
-                    rec = {"epoch": epoch, **train_metrics,
-                           "rollback": 1.0}
+            epoch = self.start_epoch
+            while epoch < epochs:
+                # device-cached path: run all epochs up to the next
+                # validation point as ONE device program — one host round
+                # trip per group (the tunnel round trip is otherwise the
+                # dominant per-step cost at small steps-per-epoch; see
+                # _cached_epoch docstring). Checkpoint/validation cadence
+                # is val_every; intermediate epoch states don't
+                # materialize on the host.
+                if self._use_device_cache and not self._trace_pending:
+                    group = min(epochs - epoch, ve - (epoch % ve))
+                    metrics_list = self.train_epoch_group(epoch, group)
+                else:
+                    metrics_list = [self.train_one_epoch(epoch)]
+                rolled_back = False
+                for j, train_metrics in enumerate(metrics_list):
+                    e = epoch + j
+                    # StepGuard consumes the jitted step's finite_step
+                    # counter once per epoch (no per-step host sync) and
+                    # may roll the state back to the last good checkpoint
+                    n = self._last_epoch_steps
+                    n_bad = int(round(
+                        n * (1.0 - train_metrics.get("finite_step", 1.0))
+                    ))
+                    action = self.guard.epoch_check(n_bad, n, e)
+                    if action == "rollback":
+                        if self.train_cfg.ckpt_dir and ckpt.has_checkpoint(
+                            self.train_cfg.ckpt_dir
+                        ):
+                            step = self.resume(self.train_cfg.ckpt_dir)
+                            log.warning(
+                                "StepGuard: rolled back to checkpoint step "
+                                "%d after %d non-finite step(s) in epoch %d",
+                                step, n_bad, e,
+                            )
+                        else:
+                            log.warning(
+                                "StepGuard: rollback requested but no "
+                                "checkpoint exists yet; continuing with "
+                                "guarded params"
+                            )
+                        rec = {"epoch": e, **train_metrics, "rollback": 1.0}
+                        self.history.append(rec)
+                        if mlog is not None:
+                            mlog.log(int(self.state.step), rec)
+                        rolled_back = True
+                        epoch = e + 1
+                        break   # don't validate/checkpoint the bad group
+                    do_val = (
+                        (e + 1) % ve == 0 or e == epochs - 1
+                    ) and j == len(metrics_list) - 1
+                    val_metrics = (
+                        self.validate(dump_dir=dump_dir, epoch=e)
+                        if do_val else {}
+                    )
+                    rec = {"epoch": e, **train_metrics, **val_metrics}
                     self.history.append(rec)
+                    log.info("epoch %d: %s", e, rec)
                     if mlog is not None:
-                        mlog.log(int(self.state.step), rec)
-                    continue   # don't validate/checkpoint the bad epoch
-                do_val = (
-                    (epoch + 1) % max(self.train_cfg.val_every, 1) == 0
-                    or epoch == epochs - 1
-                )
-                val_metrics = (
-                    self.validate(dump_dir=dump_dir, epoch=epoch)
-                    if do_val else {}
-                )
-                rec = {"epoch": epoch, **train_metrics, **val_metrics}
-                self.history.append(rec)
-                log.info("epoch %d: %s", epoch, rec)
-                if mlog is not None:
-                    mlog.log(int(self.state.step),
-                             {k: v for k, v in rec.items() if k != "epoch"})
-                self.save(metrics=val_metrics)
+                        # per-epoch step index within a grouped run
+                        step_e = int(self.state.step) - n * (
+                            len(metrics_list) - 1 - j
+                        )
+                        mlog.log(
+                            step_e,
+                            {k: v for k, v in rec.items() if k != "epoch"},
+                        )
+                    if do_val:
+                        self.save(metrics=val_metrics)
+                if not rolled_back:
+                    epoch += len(metrics_list)
         finally:
             if mlog is not None:
                 mlog.close()

@@ -68,6 +68,10 @@ def main():
     ap.add_argument("--val-frames", type=int, default=8)
     ap.add_argument("--batch-size", type=int, default=2)
     ap.add_argument("--epochs", type=int, default=150)
+    ap.add_argument("--max-epochs", type=int, default=500,
+                    help="keep extending in chunks until train PSNR>=28 & "
+                         "SSIM>=0.9 or this cap")
+    ap.add_argument("--extend-chunk", type=int, default=75)
     ap.add_argument("--val-every", type=int, default=5)
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--workdir", default="")
@@ -116,7 +120,21 @@ def main():
     setup_s = time.time() - t0
 
     ta = time.time()
-    hist = t.train(epochs=args.epochs)
+    epochs_done = 0
+    while True:
+        chunk = args.epochs if epochs_done == 0 else args.extend_chunk
+        chunk = min(chunk, args.max_epochs - epochs_done)
+        if chunk <= 0:
+            break
+        t.start_epoch = epochs_done
+        hist = t.train(epochs=epochs_done + chunk)
+        epochs_done += chunk
+        tp = [h for h in hist if "TRAIN_PSNR" in h]
+        if tp and tp[-1]["TRAIN_PSNR"] >= 28.0 and tp[-1]["TRAIN_SSIM"] >= 0.9:
+            break
+        print(f"[extend] epoch {epochs_done}: TRAIN_PSNR="
+              f"{tp[-1]['TRAIN_PSNR'] if tp else float('nan'):.2f} "
+              "— continuing", flush=True)
     train_s = time.time() - ta
 
     # ---- final full-split metrics + ablations ----------------------------
