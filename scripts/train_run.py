@@ -96,10 +96,15 @@ def main():
     phase_a_s = time.time() - ta
     step_at_stop = int(t.state.step)
     checksum_at_stop = tree_checksum(t.state.params)
-    del t
 
     # ---- phase B: resume from the checkpoint path ALONE --------------------
-    t2 = Trainer.from_checkpoint(ckpt_dir, train, val)
+    # reuse_from adopts phase A's compiled step/epoch programs (same
+    # process, same config) — without it the resumed first epoch pays a
+    # fresh multi-minute tunnel compile (TRAIN_r04 epochs 0/10 at ~5.7
+    # s/step; the axon remote-compile path is not covered by the
+    # persistent compile cache)
+    t2 = Trainer.from_checkpoint(ckpt_dir, train, val, reuse_from=t)
+    del t
     restored_step = int(t2.state.step)
     checksum_restored = tree_checksum(t2.state.params)
     tb = time.time()
