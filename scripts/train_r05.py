@@ -147,9 +147,12 @@ def main():
     abl_shuf, _ = eval_split(
         t, train, {"mels": train.arrays["mels"][perm]}
     )
-    abl_zexp, _ = eval_split(
+    abl_zexp, degraded_renders = eval_split(
         t, train,
         {"audio_exp": np.zeros_like(train.arrays["audio_exp"])},
+    )
+    _, degraded_val = eval_split(
+        t, val, {"audio_exp": np.zeros_like(val.arrays["audio_exp"])}
     )
 
     # renders for the VQ refinement stage (real NeRF outputs)
@@ -163,6 +166,11 @@ def main():
         val_render=val_renders.astype(np.float32),
         val_gt=val.arrays["images"],
         val_mask=val.arrays["head_mask"],
+        # REAL renders under conditioning mismatch (zeroed audio_exp) —
+        # the reference's refinement regime: gen frames whose quality is
+        # limited by imperfect conditioning, which the VQ stage repairs
+        train_degraded=degraded_renders.astype(np.float32),
+        val_degraded=degraded_val.astype(np.float32),
         a_train=a_tr, b_train=b_tr, a_val=a_va, b_val=b_va,
     )
 

@@ -85,7 +85,9 @@ def main():
     ap.add_argument("--steps", type=int, default=600)
     ap.add_argument("--batch-size", type=int, default=4)
     ap.add_argument("--lr", type=float, default=1e-4)
-    ap.add_argument("--bench-iters", type=int, default=30)
+    ap.add_argument("--bench-iters", type=int, default=100,
+                    help="also the refine chunk length, so bench and "
+                         "refine share one compiled scan program")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU (smoke mode; leave the chip alone)")
     args = ap.parse_args()
@@ -139,7 +141,10 @@ def main():
         return jnp.asarray(o)
 
     t0 = time.time()
-    st_w, _ = jmany(state, orders(2))
+    # warm with the SAME scan length as the measurement — scan length is
+    # part of the compiled shape, so a different warm length would leave
+    # the measured call paying a fresh compile
+    st_w, _ = jmany(state, orders(args.bench_iters))
     jax.block_until_ready(st_w.step)
     compile_s = time.time() - t0
     t0 = time.perf_counter()
@@ -212,27 +217,83 @@ def main():
             "refined_beats_raw": bool(rec_psnr > gen_psnr),
         }
 
-    t0 = time.time()
-    steps_done = 0
-    st = state
-    while steps_done < args.steps:
-        chunk = min(100, args.steps - steps_done)
-        st, tl = jmany(st, orders(chunk, seed=100 + steps_done))
-        steps_done += chunk
-        print(f"refine step {steps_done}: loss "
-              f"{float(np.asarray(tl)[-1]):.4f}", flush=True)
-    jax.block_until_ready(st.step)
-    refine_s = time.time() - t0
+    def train_refiner(dev_data, tag):
+        d = {k: jnp.asarray(v) for k, v in dev_data.items()}
 
-    refine = {
-        "steps": steps_done,
-        "refine_s": round(refine_s, 1),
-        "train": split_metrics(st, train),
-        "val": split_metrics(st, val),
-        "source": "real HeadNeRF renders from scripts/train_r05.py "
-                  "(renders.npz), downsampled to the reference's 256px",
+        def gather_d(idx):
+            return {k: jnp.take(v, idx, 0) for k, v in d.items()}
+
+        def many_d(state, order):
+            def body(st, idx):
+                st, m = train_step(st, gather_d(idx))
+                return st, m["total_loss"]
+            return jax.lax.scan(body, state, order)
+
+        jm = jax.jit(many_d)
+        st = init(jax.random.key(0), {k: v[:B] for k, v in d.items()})
+        steps_done = 0
+        t0 = time.time()
+        while steps_done < args.steps:
+            chunk = min(args.bench_iters, args.steps - steps_done)
+            st, tl = jm(st, orders(chunk, seed=100 + steps_done))
+            steps_done += chunk
+            print(f"[{tag}] refine step {steps_done}: loss "
+                  f"{float(np.asarray(tl)[-1]):.4f}", flush=True)
+        jax.block_until_ready(st.step)
+        return st, steps_done, time.time() - t0
+
+    # A) the reference regime: gen frames limited by conditioning
+    #    mismatch (REAL renders with audio_exp zeroed) -> VQ repairs them.
+    #    Train on the train split, evaluate held-out on the val split.
+    refine = {"source": "real HeadNeRF renders from scripts/train_r05.py "
+                        "(renders.npz), downsampled toward the "
+                        "reference's 256px"}
+    if "train_degraded" in renders.files:
+        # rebuild crops from the DEGRADED gen (the AU classifiers see gen
+        # frames at refinement time, test_vq.py:107-123)
+        def deg_src(split):
+            return {
+                f"{split}_render": renders[f"{split}_degraded"],
+                f"{split}_gt": renders[f"{split}_gt"],
+                f"{split}_mask": renders[f"{split}_mask"],
+                f"a_{split}": renders[f"a_{split}"],
+                f"b_{split}": renders[f"b_{split}"],
+            }
+
+        tr_deg = build_vq_data(deg_src("train"), "train")
+        st_a, n_a, s_a = train_refiner(tr_deg, "degraded")
+        rows = {"train": split_metrics(st_a, tr_deg)}
+        if "val_degraded" in renders.files:
+            va_deg = build_vq_data(deg_src("val"), "val")
+            rows["val_heldout"] = split_metrics(st_a, va_deg)
+        refine["degraded_conditioning"] = {
+            "note": "the reference's refinement regime (test_vq.py): gen "
+                    "frames whose quality is limited by conditioning "
+                    "mismatch; stage-1 must pull them toward GT",
+            "steps": n_a, "refine_s": round(s_a, 1), **rows,
+        }
+        print("refine A:", json.dumps(refine["degraded_conditioning"]),
+              flush=True)
+
+    # B) the overfit-quality renders (~29.5 dB): an honest capacity probe —
+    #    refinement cannot beat raw once raw exceeds the autoencoder's own
+    #    reconstruction ceiling, which we also measure (GT->GT passthrough)
+    st_b, n_b, s_b = train_refiner(train, "hq")
+    hq = {
+        "steps": n_b, "refine_s": round(s_b, 1),
+        "train": split_metrics(st_b, train),
+        "val": split_metrics(st_b, val),
     }
-    print("refine:", json.dumps(refine), flush=True)
+    gt_as_gen = dict(train, gen_img=train["gt_img"])
+    hq["gt_passthrough"] = split_metrics(st_b, gt_as_gen)
+    hq["note"] = (
+        "gt_passthrough.genplus_psnr is the trained autoencoder's own "
+        "reconstruction ceiling; raw renders above it cannot be improved "
+        "by this stage (the reference never operates in that regime - "
+        "its gen frames sit well below the ceiling)"
+    )
+    refine["high_quality_renders"] = hq
+    print("refine B:", json.dumps(hq), flush=True)
 
     out = {
         "metric": "vq_standardized_space_tpu",
