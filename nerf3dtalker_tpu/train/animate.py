@@ -47,8 +47,11 @@ def animate_sequence(
     appea_b = jnp.asarray(np.tile(appea_code, (chunk, 1)))
     shape_b = np.tile(shape_code, (chunk, 1)).astype(np.float32)
 
+    # params are a jit ARGUMENT (not a closure constant): constant-baked
+    # weights bloat the serialized program past remote-compile transport
+    # limits and block program reuse across checkpoints
     @jax.jit
-    def render_chunk(aud, shape_codes):
+    def render_chunk(params, aud, shape_codes):
         out = model.apply(
             params, batch_xy=xy_b, shape_code=shape_codes,
             appea_code=appea_b, audio_style=aud,
@@ -72,7 +75,9 @@ def animate_sequence(
         if expr_seq is not None:
             e = expr_seq[start:start + n]
             sc[:n, cfg.iden_code_dims:cfg.iden_code_dims + e.shape[1]] = e
-        pending.append((render_chunk(jnp.asarray(aud), jnp.asarray(sc)), n))
+        pending.append(
+            (render_chunk(params, jnp.asarray(aud), jnp.asarray(sc)), n)
+        )
         if len(pending) > window:
             img, m = pending.pop(0)
             frames.append(np.asarray(img[:m], np.float32))

@@ -47,15 +47,19 @@ def reconstruct_split(
     vq = VQAutoEncoder(cfg)
     au = AUClassifier()
 
+    # params enter as jit ARGUMENTS, not closure constants: baked-in
+    # constants bloat the serialized program by the full parameter bytes
+    # (remote-compile transports reject it past ~MBs) and defeat
+    # program-cache reuse across checkpoints
     @jax.jit
-    def recon_batch(gen_img, crops, mask):
+    def recon_batch(vq_p, au_p, gen_img, crops, mask):
         def one(p, crop):
             return au.apply(p, crop, deterministic=True)
 
         feats, _ = jax.vmap(one, in_axes=(0, 1), out_axes=(1, 1))(
-            au_params, crops
+            au_p, crops
         )
-        out = vq.apply(vq_params, gen_img, feats)
+        out = vq.apply(vq_p, gen_img, feats)
         # background reset to white through the head mask (test_vq.py:137)
         return jnp.where(mask >= 0.5, out.recon, 1.0)
 
@@ -67,6 +71,7 @@ def reconstruct_split(
         sl = slice(s, min(s + batch_size, n))
         rec = np.asarray(
             recon_batch(
+                vq_params, au_params,
                 jnp.asarray(data["gen_img"][sl]),
                 jnp.asarray(data["crops"][sl]),
                 jnp.asarray(data["mask"][sl]),

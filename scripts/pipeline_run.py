@@ -215,15 +215,32 @@ def main():
                 (b > 0), (b < -0.3), (a > 0.5), (a > 0.33), (a > 0.66),
             ], 1).astype(np.float32),
         }
-        init, train_step, _ = build_vq_step(vq_cfg, lr=1e-4)
+        init, train_step, _ = build_vq_step(vq_cfg, lr=2e-4)
         dev = {k: jnp.asarray(v) for k, v in data.items()}
         b0 = {k: v[:2] for k, v in dev.items()}
         st = init(jax.random.key(0), b0)
         rng = np.random.default_rng(0)
-        for i in range(args.vq_steps):
-            idx = jnp.asarray(rng.choice(T, 2, replace=False))
-            st, m = train_step(st, {k: jnp.take(v, idx, 0)
-                                    for k, v in dev.items()})
+
+        # chunked in-device scan: one tunnel dispatch per 100 steps
+        # instead of one per step (the per-step dispatch latency dominates
+        # wall time on a remote chip)
+        def many(state, order):
+            def body(s, idx):
+                s, m = train_step(s, {k: jnp.take(v, idx, 0)
+                                      for k, v in dev.items()})
+                return s, m["total_loss"]
+            return jax.lax.scan(body, state, order)
+
+        jmany = jax.jit(many)
+        chunk_len = 100
+        done = 0
+        while done < args.vq_steps:
+            c = min(chunk_len, args.vq_steps - done)
+            order = jnp.asarray(np.stack([
+                rng.choice(T, 2, replace=False) for _ in range(c)
+            ]).astype(np.int32))
+            st, _ = jmany(st, order)
+            done += c
         from nerf3dtalker_tpu.train.vq_eval import reconstruct_split
 
         metrics = reconstruct_split(
