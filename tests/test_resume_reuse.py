@@ -71,7 +71,9 @@ def test_cli_resume_forwards_explicit_flags(tmp_path, capsys):
     ]
     main(base)
     capsys.readouterr()
-    main(base[:-4] + ["--epochs", "2", "--resume", "--guard-policy",
+    # keep --ckpt-dir (resume must find the first run's checkpoint);
+    # replace only the --log-dir pair
+    main(base[:-2] + ["--epochs", "2", "--resume", "--guard-policy",
                       "rollback", "--log-dir", str(tmp_path / "logs2")])
     out = capsys.readouterr().out
     assert "forwarding explicitly-set flags" in out
