@@ -104,6 +104,13 @@ def frame_vq_apply(cfg: VQConfig, vq_params) -> Dict:
     the decode path uses neutral (zero) AU-codebook context — the
     reference's predict() feeds only the face codes to decode()
     (stage2.py:141-152).
+
+    NOTE: the returned closures capture the FROZEN stage-1 vq_params; a
+    caller that jits them bakes those weights into the program as
+    constants. Fine for the CPU-side stage-2 training they serve (XLA
+    constant-folds frozen weights), but do not ship them over a
+    remote-compile transport at large img_size — pass params as jit
+    arguments instead (see reconstruct_split above).
     """
     from nerf3dtalker_tpu.models.vq.quantizer import VectorQuantizer
 
